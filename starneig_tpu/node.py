@@ -1,0 +1,108 @@
+"""Execution-environment ("node") layer.
+
+TPU-native analogue of the reference node manager (reference:
+``src/common/node.c``, public API ``starneig/node.h:178-241``).  There is no
+StarPU runtime to boot and no worker pool to discover: XLA owns intra-chip
+scheduling.  What remains node-level state:
+
+  * dtype policy (the reference is double-precision only; TPU supports f64
+    with reduced throughput, so the policy is configurable),
+  * the device set / mesh used for distributed ("DM") calls,
+  * multi-process initialization (``jax.distributed``) for pod slices,
+  * message verbosity flags (reference: node.h:141-152).
+
+``node_init``/``node_finalize`` keep the reference's bracketed lifecycle so
+ported user code maps 1:1, but calling compute functions without an explicit
+init is allowed (a default node is created lazily) — idiomatic Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+log = logging.getLogger("starneig_tpu")
+
+# Init flags (reference: node.h:84-152). Hints are accepted for parity; the
+# TPU runtime needs none of them but they gate messaging like the reference.
+DEFAULT = 0
+HINT_SM = 1 << 0
+HINT_DM = 1 << 1
+NO_VERBOSE = 1 << 4
+NO_MESSAGES = 1 << 5
+
+
+@dataclasses.dataclass
+class Node:
+    devices: tuple
+    mesh: Optional[jax.sharding.Mesh]
+    flags: int
+    dtype: np.dtype
+
+    @property
+    def n_devices(self) -> int:
+        return len(self.devices)
+
+
+_NODE: Optional[Node] = None
+
+
+def node_init(
+    devices: Optional[Sequence] = None,
+    flags: int = DEFAULT,
+    dtype=np.float64,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    distributed: bool = False,
+) -> Node:
+    """Initialize the execution environment (reference: node.h:178).
+
+    Args:
+      devices: devices to use; default all of ``jax.devices()``.
+      flags: bitwise OR of init flags (``HINT_SM``/``HINT_DM``/``NO_*``).
+      dtype: default element type for solves (f64 matches the reference).
+      mesh: optional pre-built device mesh for DM calls.
+      distributed: call ``jax.distributed.initialize()`` first (multi-host).
+    """
+    global _NODE
+    if distributed and jax.process_count() == 1:
+        jax.distributed.initialize()
+    if devices is None:
+        devices = tuple(jax.devices())
+    if flags & NO_MESSAGES:
+        log.setLevel(logging.ERROR)
+    elif flags & NO_VERBOSE:
+        log.setLevel(logging.INFO)
+    else:
+        log.setLevel(logging.DEBUG)
+    _NODE = Node(devices=tuple(devices), mesh=mesh, flags=flags, dtype=np.dtype(dtype))
+    log.info("node_init: %d device(s), dtype=%s", len(devices), dtype)
+    return _NODE
+
+
+def node_finalize() -> None:
+    """Tear down the execution environment (reference: node.h:220)."""
+    global _NODE
+    _NODE = None
+
+
+def node_initialized() -> bool:
+    return _NODE is not None
+
+
+def get_node() -> Node:
+    """Current node; creates a default one lazily."""
+    if _NODE is None:
+        node_init()
+    return _NODE
+
+
+def default_mesh(n_devices: Optional[int] = None, axis: str = "d") -> jax.sharding.Mesh:
+    """A 1-D mesh over the node's devices (DM calls default to this)."""
+    node = get_node()
+    devs = node.devices if n_devices is None else node.devices[:n_devices]
+    return jax.sharding.Mesh(np.array(devs), (axis,))
