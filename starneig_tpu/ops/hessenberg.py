@@ -1,0 +1,115 @@
+"""Blocked Hessenberg reduction (SEP): A -> Q^T A Q = H upper Hessenberg.
+
+TPU-native rebuild of the reference Hessenberg component
+(``src/hessenberg/``, SURVEY.md section 2.2): the same blocked two-sided
+compact-WY algorithm — per panel of width nb, columns are reduced one at a
+time (each needing a matrix-vector product against the panel-start matrix,
+the intrinsically sequential part, reference core.c:461-521), producing
+V, T and Y = A V T; the trailing matrix is then updated from the right
+(A <- A - Y V^T) and left (A <- A - V T^T V^T A) as large GEMMs
+(reference core.c:93-160, 515-537).
+
+Design differences from the reference (StarPU task DAG -> XLA):
+  * the panel inner loop is one jitted ``lax.fori_loop``; the matvec u = A v
+    runs at full matrix width (masked by v's sparsity) so one compilation
+    serves every panel — no per-panel recompiles;
+  * trailing updates are whole-matrix GEMMs on the MXU; the panel columns
+    are overwritten with exactly-zeroed reflector results afterwards;
+  * Q is accumulated per panel as Q <- Q - (Q V) T V^T.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from starneig_tpu.config import HessenbergConf
+from starneig_tpu.ops import primitives as prim
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def _panel(A, k, nb: int):
+    """Factorize panel columns k..k+nb-1.
+
+    Returns (V, T, Y, P): reflectors (n, nb) with v_j supported on rows
+    > k+j, the compact-WY T (nb, nb), Y = A V T (n, nb), and the final
+    panel column values P (n, nb) with exact zeros below the subdiagonal.
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    rows = jnp.arange(n)
+
+    def step(j, carry):
+        V, T, U, Y, P = carry
+        c = k + j
+        a = lax.dynamic_slice(A, (0, c), (n, 1))[:, 0]
+        a = a - Y @ lax.dynamic_slice(V, (c, 0), (1, nb))[0]
+        a = a - V @ (T.T @ (V.T @ a))
+        shift = c + 1
+        ar = jnp.roll(a, -shift)
+        mr = jnp.roll(rows >= shift, -shift)
+        vr, tau, beta = prim.householder(ar, mr)
+        v = jnp.roll(vr, shift)
+        active = c < n - 1
+        v = jnp.where(active & (rows >= shift), v, 0.0)
+        tau = jnp.where(active, tau, 0.0)
+        pcol = jnp.where(rows <= c, a, 0.0)
+        pcol = jnp.where((rows == shift) & active, beta, pcol)
+        pcol = jnp.where((rows == shift) & ~active, a, pcol)
+        u = A @ v
+        tcol = -tau * (T @ (V.T @ v))
+        tcol = tcol.at[j].set(tau)
+        V = V.at[:, j].set(v)
+        T = T.at[:, j].set(tcol)
+        U = U.at[:, j].set(u)
+        Y = Y.at[:, j].set(U @ tcol)
+        P = P.at[:, j].set(pcol)
+        return V, T, U, Y, P
+
+    V = jnp.zeros((n, nb), dtype)
+    T = jnp.zeros((nb, nb), dtype)
+    U = jnp.zeros((n, nb), dtype)
+    Y = jnp.zeros((n, nb), dtype)
+    P = jnp.zeros((n, nb), dtype)
+    V, T, U, Y, P = lax.fori_loop(0, nb, step, (V, T, U, Y, P))
+    return V, T, Y, P
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _apply_panel(A, Q, V, T, Y, P, k):
+    """Trailing update + panel write-back + Q accumulation."""
+    n = A.shape[0]
+    nb = V.shape[1]
+    A = A - Y @ V.T
+    A = A - V @ (T.T @ (V.T @ A))
+    A = lax.dynamic_update_slice(A, P, (k * 0, k))
+    Q = Q - (Q @ V) @ (T @ V.T)
+    return A, Q
+
+
+def hessenberg(A, Q=None, conf: Optional[HessenbergConf] = None):
+    """Reduce A to upper Hessenberg form: returns (H, Q) with H = Q^T A Q.
+
+    Mirrors ``starneig_SEP_SM_Hessenberg`` (reference: sep_sm.h:89-118).
+    ``Q`` may hold an initial orthogonal matrix to accumulate onto.
+    """
+    A = jnp.asarray(A)
+    n = A.shape[0]
+    if Q is None:
+        Q = jnp.eye(n, dtype=A.dtype)
+    else:
+        Q = jnp.asarray(Q)
+    if n <= 2:
+        return A, Q
+    conf = (conf or HessenbergConf()).resolve(n)
+    nb = min(conf.panel_width, max(8, n - 2), n)
+    for k in range(0, n - 2, nb):
+        k_eff = min(k, n - nb)  # keep the static-size panel inside the matrix;
+        # re-processing already-reduced columns is an exact no-op (tau == 0)
+        V, T, Y, P = _panel(A, k_eff, nb)
+        A, Q = _apply_panel(A, Q, V, T, Y, P, k_eff)
+    return A, Q

@@ -1,0 +1,245 @@
+"""Eigenvalue reordering: move selected eigenvalues to the top-left.
+
+TPU-native rebuild of the reference reorder component
+(``src/reorder/``, SURVEY.md section 2.4): selected 1x1/2x2 blocks bubble to
+the leading diagonal positions through chains of overlapping diagonal
+windows.  All swap work is confined to a fixed-size window processed by one
+jitted kernel (a ``lax.while_loop`` over adjacent block swaps accumulating a
+local orthogonal Q_w); the off-window rows/columns and Q are then updated
+with three large GEMMs (MXU work).  Windows chain bottom-to-top, each
+carrying up to ``cap`` selected rows (the reference's values-per-chain,
+expert.h:439-525); outer passes repeat until the selection is a leading
+prefix.
+
+Window placement never needs to split a 2x2 block: the kernel takes frozen
+margins (``dst0`` rows at the top, rows >= ``wlim`` at the bottom) so a
+window whose edge falls inside a 2x2 block simply excludes the straddling
+half from processing.
+
+Failed (ill-conditioned) swaps deselect the stuck eigenvalue and report
+``PARTIAL_REORDERING`` — the output is always a valid Schur form with the
+selection vector updated (reference: error.h:114-119, sep_sm.h:139-144).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from starneig_tpu.config import ReorderConf
+from starneig_tpu.errors import Error
+from starneig_tpu.ops.swaps import swap_adjacent
+
+
+# ---------------------------------------------------------------------------
+# window kernel
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _window_bubble(Tw, sel, dst0, dst_limit, wlim):
+    """Bubble selected blocks to the top of the window.
+
+    Args:
+      Tw: (W, W) quasi-triangular window (a diagonal block of S).
+      sel: (W,) bool selection, 2x2-block aligned.
+      dst0: first row of the insertion region (rows < dst0 are frozen — they
+        belong to a block straddling the window's top edge).
+      dst_limit: stop once the insertion point reaches this row.
+      wlim: rows >= wlim are frozen (straddling bottom edge).
+
+    Returns:
+      (Tw', Qw, sel', dst, nfail): updated window, accumulated local
+      transform (Tw' = Qw^T Tw Qw), updated selection, next insertion row,
+      number of rejected swaps.
+    """
+    W = Tw.shape[0]
+    WP = W + 4
+    dtype = Tw.dtype
+    Tp = jnp.zeros((WP, WP), dtype).at[:W, :W].set(Tw)
+    Qp = jnp.zeros((W, WP), dtype).at[:, :W].set(jnp.eye(W, dtype=dtype))
+    sel = jnp.concatenate([sel, jnp.zeros((4,), bool)])  # pad: dynamic slices
+    # near the bottom edge must not clamp (that would shift the window)
+    idx = jnp.arange(W, dtype=jnp.int32)
+
+    def bs_mask(Tp):
+        sub = jnp.diagonal(Tp[:W, :W], offset=-1)
+        return jnp.concatenate([jnp.ones((1,), bool), sub == 0])
+
+    def bsize(Tp, s):
+        below = jnp.where(s + 1 < W, Tp[jnp.minimum(s + 1, W - 1), s], 0.0)
+        return jnp.where(below == 0, 1, 2)
+
+    def cond(state):
+        Tp, Qp, sel, dst, src, nfail, steps, done = state
+        return (~done) & (steps < 4 * W * W)
+
+    def scan_branch(state):
+        Tp, Qp, sel, dst, src, nfail, steps, done = state
+        bs = bs_mask(Tp)
+        cand = bs & sel[:W] & (idx >= dst) & (idx < wlim)
+        s = jnp.min(jnp.where(cand, idx, W))
+        new_done = (s >= W) | (dst >= dst_limit)
+        at_dst = (s == dst) & ~new_done
+        sz = bsize(Tp, jnp.minimum(s, W - 1))
+        dst = jnp.where(at_dst, dst + sz, dst)
+        src = jnp.where(new_done | at_dst, -1, s)
+        return Tp, Qp, sel, dst, src, nfail, steps + 1, new_done
+
+    def swap_branch(state):
+        Tp, Qp, sel, dst, src, nfail, steps, done = state
+        bs = bs_mask(Tp)
+        # block start immediately above src
+        a = jnp.where((src >= 2) & ~bs[jnp.maximum(src - 1, 0)], src - 2, src - 1)
+        p = src - a
+        q = bsize(Tp, src)
+        D4 = lax.dynamic_slice(Tp, (a, a), (4, 4))
+        Qs, Dh, accept = swap_adjacent(D4, p, q)
+        # apply Qs: rows a..a+4, then cols a..a+4, then the exact block
+        rows = lax.dynamic_slice(Tp, (a, a * 0), (4, WP))
+        Tp = lax.dynamic_update_slice(Tp, Qs.T @ rows, (a, a * 0))
+        cols = lax.dynamic_slice(Tp, (a * 0, a), (WP, 4))
+        Tp = lax.dynamic_update_slice(Tp, cols @ Qs, (a * 0, a))
+        Tp = lax.dynamic_update_slice(Tp, Dh, (a, a))
+        qc = lax.dynamic_slice(Qp, (a * 0, a), (W, 4))
+        Qp = lax.dynamic_update_slice(Qp, qc @ Qs, (a * 0, a))
+        # selection bookkeeping over the 4 rows at a
+        old4 = lax.dynamic_slice(sel, (a,), (4,))
+        i4 = jnp.arange(4)
+        moved = jnp.where(i4 < q, True, jnp.where(i4 < p + q, False, old4))
+        stuck = jnp.where((i4 >= p) & (i4 < p + q), False, old4)
+        new4 = jnp.where(accept, moved, stuck)
+        sel = lax.dynamic_update_slice(sel, new4, (a,))
+        new_src = jnp.where(accept, a, -1)
+        arrived = accept & (new_src == dst)
+        dst = jnp.where(arrived, dst + q, dst)
+        new_src = jnp.where(arrived, -1, new_src)
+        nfail = nfail + jnp.where(accept, 0, 1)
+        return Tp, Qp, sel, dst, new_src, nfail, steps + 1, done
+
+    def body(state):
+        src = state[4]
+        return lax.cond(src < 0, scan_branch, swap_branch, state)
+
+    init = (Tp, Qp, sel, jnp.int32(dst0), jnp.int32(-1), jnp.int32(0),
+            jnp.int32(0), jnp.bool_(False))
+    Tp, Qp, sel, dst, src, nfail, steps, done = lax.while_loop(cond, body, init)
+    return Tp[:W, :W], Qp[:, :W], sel[:W], dst, nfail
+
+
+# ---------------------------------------------------------------------------
+# off-window updates (the MXU work)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _apply_window(S, Q, Tw, Qw, ws):
+    """Apply the window transform: S <- diag(I,Qw,I)^T S diag(I,Qw,I), Q <- Q diag."""
+    n = S.shape[0]
+    W = Tw.shape[0]
+    rows = lax.dynamic_slice(S, (ws, 0), (W, n))
+    S = lax.dynamic_update_slice(S, Qw.T @ rows, (ws, 0))
+    cols = lax.dynamic_slice(S, (0, ws), (n, W))
+    S = lax.dynamic_update_slice(S, cols @ Qw, (0, ws))
+    S = lax.dynamic_update_slice(S, Tw, (ws, ws))
+    qc = lax.dynamic_slice(Q, (0, ws), (n, W))
+    Q = lax.dynamic_update_slice(Q, qc @ Qw, (0, ws))
+    return S, Q
+
+
+# ---------------------------------------------------------------------------
+# host driver
+# ---------------------------------------------------------------------------
+
+def _align_select(subdiag: np.ndarray, select: np.ndarray) -> np.ndarray:
+    """Make the selection 2x2-block atomic (reference: helpers.c:46-159)."""
+    sel = select.copy()
+    n = len(sel)
+    i = 0
+    while i < n - 1:
+        if subdiag[i] != 0:  # block [i, i+1]
+            v = bool(sel[i] or sel[i + 1])
+            sel[i] = sel[i + 1] = v
+            i += 2
+        else:
+            i += 1
+    return sel
+
+
+def _prefix_len(subdiag: np.ndarray, sel: np.ndarray) -> int:
+    """Rows m such that sel[0:m] is a full leading run of selected blocks."""
+    n = len(sel)
+    m = 0
+    while m < n and sel[m]:
+        m += 2 if (m < n - 1 and subdiag[m] != 0) else 1
+    return m
+
+
+def reorder_schur(S, Q, select, conf: Optional[ReorderConf] = None):
+    """Reorder a real Schur form so selected eigenvalues lead.
+
+    Mirrors ``starneig_SEP_SM_ReorderSchur`` (reference:
+    ``src/include/starneig/sep_sm.h:89-157``).
+
+    Args:
+      S: (n, n) real Schur form.
+      Q: (n, n) orthogonal accumulation matrix.
+      select: (n,) bool array; 2x2 blocks are selected atomically (a pair is
+        selected if either entry is).
+      conf: optional ReorderConf; -1 fields auto-resolve.
+
+    Returns:
+      (S, Q, num_selected, info): updated Schur form and Q; rows in the final
+      leading block; info == Error.SUCCESS or Error.PARTIAL_REORDERING.
+    """
+    S = jnp.asarray(S)
+    Q = jnp.asarray(Q)
+    n = S.shape[0]
+
+    def get_subdiag():
+        return np.concatenate([np.asarray(jnp.diagonal(S, offset=-1)), [0.0]])
+
+    subdiag = get_subdiag()
+    sel = _align_select(subdiag, np.asarray(select, bool).copy())
+
+    if conf is None:
+        conf = ReorderConf()
+    ratio = float(sel.sum()) / max(n, 1)
+    rconf = conf.resolve(n, workers=1, select_ratio=ratio)
+    W = min(rconf.window_size, n)
+    cap = W if W >= n else max(2, W // 2)
+    total_fail = 0
+
+    while True:
+        m = _prefix_len(subdiag, sel)
+        below = np.nonzero(sel[m:n])[0]
+        if below.size == 0:
+            break
+        lowest = m + int(below[-1])
+        bsz = 2 if subdiag[lowest] != 0 else 1
+        if subdiag[lowest - 1] != 0 and lowest > 0:
+            lowest, bsz = lowest - 1, 2  # landed on the second row of a pair
+        ws = min(max(m, lowest + bsz - W), n - W)
+        while True:
+            wlo = 1 if (ws > 0 and subdiag[ws - 1] != 0) else 0
+            wlim = W - 1 if (ws + W < n and subdiag[ws + W - 1] != 0) else W
+            Tw = lax.dynamic_slice(S, (ws, ws), (W, W))
+            sel_w = jnp.asarray(sel[ws:ws + W])
+            Tw2, Qw, sel_w2, dst, nfail = _window_bubble(
+                Tw, sel_w, wlo, min(wlo + cap, W), wlim
+            )
+            total_fail += int(nfail)
+            S, Q = _apply_window(S, Q, Tw2, Qw, ws)
+            sel[ws:ws + W] = np.asarray(sel_w2)
+            subdiag[ws:ws + W - 1] = np.asarray(jnp.diagonal(Tw2, offset=-1))
+            if ws <= m:
+                break
+            carried = int(dst) - wlo
+            ws = max(m, ws + wlo + carried - W)
+
+    m = _prefix_len(get_subdiag(), sel)
+    info = Error.PARTIAL_REORDERING if total_fail else Error.SUCCESS
+    return S, Q, m, info

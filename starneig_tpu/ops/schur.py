@@ -1,0 +1,540 @@
+"""Multishift QR Schur reduction with aggressive early deflation (SEP).
+
+TPU-native rebuild of the reference Schur component (``src/schur/``,
+SURVEY.md section 2.3) — the largest and hottest part of the solve chain.
+The reference drives an asynchronous segment state machine over StarPU
+tasks; here the same mathematics is organized as a host-side loop (control
+flow on scalars) over jitted fixed-shape building blocks:
+
+  * deflation scan: vectorized negligibility test + host peel of converged
+    trailing blocks (thresholds per the reference's norm-stable default
+    u*||A||_F or the LAPACK pairwise test, schur/core.c:2388-2462);
+  * AED: the trailing window is Schur-reduced by the jitted Francis solver
+    (small_schur), spike entries are tested bottom-up, undeflatable blocks
+    are moved to the window top with the swap machinery, shifts are read
+    off the undeflated Schur diagonal, the undeflated part is re-condensed
+    to Hessenberg, and the window transform is applied as large GEMMs
+    (reference: perform_small_aed/perform_large_aed core.c:1365-1551,
+    deflate core.c:783-1267);
+  * multishift sweep: instead of the reference's pipelined window chains
+    (core.c:563-782) the bulge train is advanced by a *batched* step: all B
+    bulges occupy 3B contiguous rows, so one step gathers the train block,
+    applies every bulge's reflector simultaneously as batched rank-1
+    updates (VPU-friendly contiguous work), and advances one row.  The
+    whole batch chase is one jitted ``fori_loop`` — no per-window dispatch.
+
+The matrix lives in a (P+n+P)-padded buffer so every dynamic-slice window
+(AED, small segments, bulge trains) stays in range without clamping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from starneig_tpu.config import SchurConf, DeflationCriterion
+from starneig_tpu.errors import Error
+from starneig_tpu.ops import primitives as prim
+from starneig_tpu.ops.small_schur import small_schur
+from starneig_tpu.ops.swaps import swap_adjacent
+from starneig_tpu.ops.eigvals import extract_eigenvalues
+
+
+# ---------------------------------------------------------------------------
+# vectorized deflation test + final 2x2 standardization
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _zero_negligible(S, ihi, thresh):
+    """Zero negligible subdiagonal entries above row ihi; return S, subdiag."""
+    n = S.shape[0]
+    ulp = jnp.finfo(S.dtype).eps
+    d = jnp.diagonal(S)
+    sub = jnp.diagonal(S, offset=-1)
+    tst = jnp.abs(d[:-1]) + jnp.abs(d[1:])
+    idx = jnp.arange(n - 1)
+    neg = (jnp.abs(sub) <= jnp.maximum(ulp * tst, thresh)) & (idx + 1 < ihi)
+    newsub = jnp.where(neg, 0.0, sub)
+    r = jnp.arange(n)
+    S = S.at[r[1:], r[:-1]].set(newsub)
+    return S, jnp.concatenate([newsub, jnp.zeros((1,), S.dtype)])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("P",))
+def _zero_negligible_pad(Spad, ihi, thresh, P: int):
+    n = Spad.shape[0] - 2 * P
+    S = lax.dynamic_slice(Spad, (P, P), (n, n))
+    S, sub = _zero_negligible(S, ihi, thresh)
+    Spad = lax.dynamic_update_slice(Spad, S, (P, P))
+    return Spad, sub
+
+
+@functools.partial(jax.jit, static_argnames=("P", "W"))
+def _masked_window(Spad, pos, m, P: int, W: int):
+    """Extract the W x W window at global pos, zeroed outside the m x m block."""
+    win = lax.dynamic_slice(Spad, (P + pos, P + pos), (W, W))
+    r = jnp.arange(W)
+    act = (r[:, None] < m) & (r[None, :] < m)
+    return jnp.where(act, win, 0.0)
+
+
+@jax.jit
+def standardize_blocks(S, Q):
+    """Standardize every 2x2 diagonal block of a quasi-triangular S.
+
+    Vectorized final pass: all blocks are disjoint, so their rotations apply
+    simultaneously via shifted-row/column arithmetic.  Real-eigenvalue 2x2
+    blocks become exactly upper triangular.
+    """
+    n = S.shape[0]
+    d = jnp.diagonal(S)
+    sub = jnp.concatenate([jnp.diagonal(S, offset=-1), jnp.zeros((1,), S.dtype)])
+    sup = jnp.concatenate([jnp.diagonal(S, offset=1), jnp.zeros((1,), S.dtype)])
+    is_start = sub != 0
+    prev = jnp.concatenate([jnp.zeros((1,), bool), is_start[:-1]])
+    is_start = is_start & ~prev
+    is_second = jnp.concatenate([jnp.zeros((1,), bool), is_start[:-1]])
+
+    d_next = jnp.concatenate([d[1:], jnp.zeros((1,), S.dtype)])
+    out = jax.vmap(prim.standardize_2x2)(d, sup, sub, d_next)
+    aa, bb, cc, dd, _r1, _i1, _r2, _i2, cs, sn = out
+    cs = jnp.where(is_start, cs, 1.0)
+    sn = jnp.where(is_start, sn, 0.0)
+    cs_r = jnp.roll(cs, 1)
+    sn_r = jnp.roll(sn, 1)
+
+    # rows: [r_i'; r_{i+1}'] = [[cs, sn], [-sn, cs]] @ [r_i; r_{i+1}]
+    S_dn = jnp.roll(S, -1, axis=0)
+    S_up = jnp.roll(S, 1, axis=0)
+    S1 = jnp.where(is_start[:, None], cs[:, None] * S + sn[:, None] * S_dn,
+                   jnp.where(is_second[:, None],
+                             -sn_r[:, None] * S_up + cs_r[:, None] * S, S))
+    # cols: c_i' = cs*c_i + sn*c_{i+1}; c_{i+1}' = -sn*c_i + cs*c_{i+1}
+    C_dn = jnp.roll(S1, -1, axis=1)
+    C_up = jnp.roll(S1, 1, axis=1)
+    S2 = jnp.where(is_start[None, :], cs[None, :] * S1 + sn[None, :] * C_dn,
+                   jnp.where(is_second[None, :],
+                             -sn_r[None, :] * C_up + cs_r[None, :] * S1, S1))
+    # plant exact standardized block entries
+    r = jnp.arange(n)
+    diag_new = jnp.where(is_start, aa, jnp.where(is_second, jnp.roll(dd, 1), jnp.diagonal(S2)))
+    S2 = S2.at[r, r].set(diag_new)
+    sup2 = jnp.diagonal(S2, offset=1)
+    sup_new = jnp.where(is_start[:-1], bb[:-1], sup2)
+    S2 = S2.at[r[:-1], r[1:]].set(sup_new)
+    sub2 = jnp.diagonal(S2, offset=-1)
+    sub_new = jnp.where(is_start[:-1], cc[:-1], sub2)
+    S2 = S2.at[r[1:], r[:-1]].set(sub_new)
+
+    Qd = jnp.roll(Q, -1, axis=1)
+    Qu = jnp.roll(Q, 1, axis=1)
+    Q2 = jnp.where(is_start[None, :], cs[None, :] * Q + sn[None, :] * Qd,
+                   jnp.where(is_second[None, :],
+                             -sn_r[None, :] * Qu + cs_r[None, :] * Q, Q))
+    return S2, Q2
+
+
+# ---------------------------------------------------------------------------
+# AED helpers
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _aed_deflate(Tw, Vw, s, w, thresh):
+    """Bottom-up spike deflation with block moves (reference core.c:783-1267).
+
+    Tw is a (WA, WA) Schur form of the AED window (active w x w), Vw the
+    accumulated window transform.  The spike is s * Vw[0, :].  Blocks whose
+    spike entries are negligible deflate (stay at the bottom); others are
+    moved to the top region via adjacent swaps.
+
+    Returns (Tw, Vw, kbot, fail): kbot = rows remaining undeflated.
+    """
+    WA = Tw.shape[0]
+    WP = WA + 4
+    dtype = Tw.dtype
+    ulp = jnp.finfo(dtype).eps
+    Tp = jnp.zeros((WP, WP), dtype).at[:WA, :WA].set(Tw)
+    Vp = jnp.zeros((WA, WP), dtype).at[:, :WA].set(Vw)
+
+    def size_ending_at(Tp, e):
+        """Size of the block whose last row is e."""
+        coupled = jnp.where(e >= 1, Tp[e, jnp.maximum(e - 1, 0)], 0.0)
+        return jnp.where(coupled == 0, 1, 2)
+
+    def size_starting_at(Tp, st):
+        below = jnp.where(st + 1 < WA, Tp[jnp.minimum(st + 1, WA - 1), st], 0.0)
+        return jnp.where(below == 0, 1, 2)
+
+    def cond(st):
+        Tp, Vp, kbot, ilst, src, fail, steps = st
+        return (kbot > ilst) & (~fail) & (steps < 4 * WA * WA)
+
+    def test_branch(st):
+        Tp, Vp, kbot, ilst, src, fail, steps = st
+        sz = size_ending_at(Tp, kbot - 1)
+        start = kbot - sz
+        sp0 = s * Vp[0, jnp.maximum(start, 0)]
+        sp1 = s * Vp[0, jnp.maximum(kbot - 1, 0)]
+        foot = jnp.maximum(jnp.abs(sp0), jnp.abs(sp1) * (sz == 2))
+        tst = jnp.abs(Tp[start, start]) + jnp.where(
+            sz == 2, jnp.abs(Tp[kbot - 1, kbot - 1]), 0.0)
+        deflatable = foot <= jnp.maximum(ulp * tst, thresh)
+        new_kbot = jnp.where(deflatable, start, kbot)
+        new_src = jnp.where(deflatable, jnp.int32(-1), start.astype(jnp.int32))
+        at_front = (~deflatable) & (start == ilst)
+        new_ilst = jnp.where(at_front, ilst + sz, ilst)
+        new_src = jnp.where(at_front, jnp.int32(-1), new_src)
+        return Tp, Vp, new_kbot, new_ilst, new_src, fail, steps + 1
+
+    def move_branch(st):
+        Tp, Vp, kbot, ilst, src, fail, steps = st
+        p = size_ending_at(Tp, src - 1)
+        a = src - p
+        q = size_starting_at(Tp, src)
+        D4 = lax.dynamic_slice(Tp, (a, a), (4, 4))
+        Qs, Dh, accept = swap_adjacent(D4, p, q)
+        rows = lax.dynamic_slice(Tp, (a, a * 0), (4, WP))
+        Tp = lax.dynamic_update_slice(Tp, Qs.T @ rows, (a, a * 0))
+        cols = lax.dynamic_slice(Tp, (a * 0, a), (WP, 4))
+        Tp = lax.dynamic_update_slice(Tp, cols @ Qs, (a * 0, a))
+        Tp = lax.dynamic_update_slice(Tp, Dh, (a, a))
+        vc = lax.dynamic_slice(Vp, (a * 0, a), (WA, 4))
+        Vp = lax.dynamic_update_slice(Vp, vc @ Qs, (a * 0, a))
+        new_src = jnp.where(accept, a.astype(jnp.int32), jnp.int32(-1))
+        arrived = accept & (new_src == ilst)
+        new_ilst = jnp.where(arrived, ilst + q, ilst)
+        new_src = jnp.where(arrived, jnp.int32(-1), new_src)
+        new_fail = fail | (~accept)
+        return Tp, Vp, kbot, new_ilst, new_src, new_fail, steps + 1
+
+    def body(st):
+        return lax.cond(st[4] < 0, test_branch, move_branch, st)
+
+    init = (Tp, Vp, jnp.int32(w), jnp.int32(0), jnp.int32(-1),
+            jnp.bool_(False), jnp.int32(0))
+    Tp, Vp, kbot, ilst, src, fail, steps = lax.while_loop(cond, body, init)
+    return Tp[:WA, :WA], Vp[:, :WA], kbot, fail
+
+
+@jax.jit
+def _aed_recondense(Tw, Vw, s, kbot):
+    """Return the undeflated window part to Hessenberg form with the spike
+    condensed into the first column (the re-reduction after deflation).
+
+    Applies, inside the window: (1) a reflector turning the spike vector
+    s * Vw[0, :kbot] into beta*e1, (2) an unblocked Hessenberg reduction of
+    the leading kbot x kbot block.  Returns (Tw, Vw, beta).
+    """
+    WA = Tw.shape[0]
+    rows = jnp.arange(WA)
+
+    def apply_both(T, V, v, tau):
+        T = T - tau * jnp.outer(v, v @ T)
+        T = T - tau * jnp.outer(T @ v, v)
+        V = V - tau * jnp.outer(V @ v, v)
+        return T, V
+
+    # spike reflector
+    sp = s * Vw[0, :]
+    sp = jnp.where(rows < kbot, sp, 0.0)
+    v0, tau0, beta = prim.householder(sp, rows < kbot)
+    Tw, Vw = apply_both(Tw, Vw, v0, tau0)
+
+    # unblocked Hessenberg on [0, kbot)
+    def step(j, carry):
+        T, V = carry
+        col = lax.dynamic_slice(T, (0 * j, j), (WA, 1))[:, 0]
+        shift = j + 1
+        colr = jnp.roll(col, -shift)
+        mr = jnp.roll((rows >= shift) & (rows < kbot), -shift)
+        vr, tau, b = prim.householder(colr, mr)
+        v = jnp.roll(vr, shift)
+        ok = shift < kbot
+        v = jnp.where(ok & (rows >= shift) & (rows < kbot), v, 0.0)
+        tau = jnp.where(ok, tau, 0.0)
+        T, V = apply_both(T, V, v, tau)
+        newcol = T[:, j]
+        zero_zone = ok & (rows > shift) & (rows < kbot)
+        newcol = jnp.where(zero_zone, 0.0, newcol)
+        newcol = jnp.where((rows == shift) & ok, b, newcol)
+        T = lax.dynamic_update_slice(T, newcol[:, None], (0 * j, j))
+        return T, V
+
+    Tw, Vw = lax.fori_loop(0, WA - 2, step, (Tw, Vw))
+    return Tw, Vw, beta
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("P", "W"))
+def _apply_window_transform(Spad, Qpad, Vw, Tw, active_m, pos, spike, beta,
+                            P: int, W: int):
+    """Apply a window transform Vw at global position pos (unpadded coords).
+
+    Vw is (W, W), identity beyond the active block; the window content is
+    replaced by Tw on the active m x m part; when ``spike`` is True the
+    column pos-1 over the window rows is planted as beta*e1.
+    """
+    NP = Spad.shape[0]
+    gp = P + pos
+    rows = lax.dynamic_slice(Spad, (gp, gp * 0), (W, NP))
+    Spad = lax.dynamic_update_slice(Spad, Vw.T @ rows, (gp, gp * 0))
+    cols = lax.dynamic_slice(Spad, (gp * 0, gp), (NP, W))
+    Spad = lax.dynamic_update_slice(Spad, cols @ Vw, (gp * 0, gp))
+    blk = lax.dynamic_slice(Spad, (gp, gp), (W, W))
+    r = jnp.arange(W)
+    act = (r[:, None] < active_m) & (r[None, :] < active_m)
+    Spad = lax.dynamic_update_slice(Spad, jnp.where(act, Tw, blk), (gp, gp))
+    old = lax.dynamic_slice(Spad, (gp, gp - 1), (W, 1))
+    spk = jnp.where(r[:, None] == 0, beta, 0.0)
+    Spad = lax.dynamic_update_slice(
+        Spad, jnp.where(spike, spk, old), (gp, gp - 1))
+    qc = lax.dynamic_slice(Qpad, (gp * 0, gp), (Qpad.shape[0], W))
+    Qpad = lax.dynamic_update_slice(Qpad, qc @ Vw, (gp * 0, gp))
+    return Spad, Qpad
+
+
+# ---------------------------------------------------------------------------
+# batched multishift sweep
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("B",))
+def _sweep_batch(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int):
+    """Chase B bulges (2B shifts) from the top of [l, ihi) off the bottom.
+
+    Every step advances the whole train one row: the train occupies 3B
+    contiguous rows, all reflectors are disjoint and applied as batched
+    rank-1 updates.  l, ihi are positions in padded coordinates.
+    """
+    NP = Spad.shape[0]
+    nq = Qpad.shape[0]
+    bidx = jnp.arange(B)
+
+    seg = ihi - l
+    steps = seg - 2 + 3 * (B - 1) + 1
+
+    def step(s, carry):
+        Spad, Qpad = carry
+        k = (l + s - 3 * bidx).astype(jnp.int32)   # (B,) bulge columns
+        active = (k >= l) & (k <= ihi - 2)
+        intro = k == l
+        use3 = k <= ihi - 3
+
+        def gather_col(ki):
+            return lax.dynamic_slice(
+                Spad, (ki, jnp.maximum(ki - 1, 0)), (3, 1))[:, 0]
+
+        cols3 = jax.vmap(gather_col)(k)            # (B, 3)
+
+        blk = lax.dynamic_slice(Spad, (l, l), (3, 3))
+        intro_cols = jax.vmap(
+            lambda a, b, c, d, u: prim.first_column_shifted(blk, a, b, c, d, u)
+        )(sr1, si1, sr2, si2, use3)                # (B, 3)
+
+        x = jnp.where(intro[:, None], intro_cols, cols3)
+        mask = jnp.stack([jnp.ones_like(use3), jnp.ones_like(use3), use3], axis=1)
+        v, tau, beta = jax.vmap(prim.householder)(x, mask)
+        tau = jnp.where(active, tau, 0.0)
+
+        # train block rows [lo, lo+3B): bulge i sits at offset 3*(B-1-i)
+        lo = l + s - 3 * (B - 1)
+        vs = v[::-1]
+        taus = tau[::-1]
+        R = lax.dynamic_slice(Spad, (lo, lo * 0), (3 * B, NP)).reshape(B, 3, NP)
+        w = jnp.einsum("bi,bin->bn", vs, R)
+        R = R - taus[:, None, None] * vs[:, :, None] * w[:, None, :]
+        Spad = lax.dynamic_update_slice(Spad, R.reshape(3 * B, NP), (lo, lo * 0))
+
+        # exact bulge-column entries: S[k, k-1] = beta, below = 0 (chase only).
+        # This MUST sit between the left and the right updates: the next
+        # bulge's right update legitimately modifies these entries afterwards
+        # (left/right multiplications commute, so all-left -> plant ->
+        # all-right reproduces the sequential per-bulge order exactly).
+        fix = active & ~intro
+        colidx = jnp.maximum(k - 1, 0)
+        k1 = jnp.minimum(k + 1, NP - 1)
+        k2 = jnp.minimum(k + 2, NP - 1)
+        Spad = Spad.at[k, colidx].set(
+            jnp.where(fix, beta, Spad[k, colidx]))
+        Spad = Spad.at[k1, colidx].set(
+            jnp.where(fix, 0.0, Spad[k1, colidx]))
+        Spad = Spad.at[k2, colidx].set(
+            jnp.where(fix & use3, 0.0, Spad[k2, colidx]))
+
+        C = lax.dynamic_slice(Spad, (lo * 0, lo), (NP, 3 * B)).reshape(NP, B, 3)
+        wc = jnp.einsum("nbi,bi->nb", C, vs)
+        C = C - taus[None, :, None] * wc[:, :, None] * vs[None, :, :]
+        Spad = lax.dynamic_update_slice(Spad, C.reshape(NP, 3 * B), (lo * 0, lo))
+
+        Zc = lax.dynamic_slice(Qpad, (lo * 0, lo), (nq, 3 * B)).reshape(nq, B, 3)
+        wz = jnp.einsum("nbi,bi->nb", Zc, vs)
+        Zc = Zc - taus[None, :, None] * wz[:, :, None] * vs[None, :, :]
+        Qpad = lax.dynamic_update_slice(Qpad, Zc.reshape(nq, 3 * B), (lo * 0, lo))
+        return Spad, Qpad
+
+    Spad, Qpad = lax.fori_loop(0, steps, step, (Spad, Qpad))
+    return Spad, Qpad
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _pair_shifts(er: np.ndarray, ei: np.ndarray, ns: int):
+    """Pick up to ns shifts (conjugate-pair aligned) from eigenvalue arrays,
+    taking trailing (bottom) eigenvalues first (LAPACK/reference convention).
+    """
+    pairs = []
+    reals = []
+    i = len(er) - 1
+    while i >= 0 and 2 * (len(pairs) + len(reals) // 2) < ns:
+        if ei[i] != 0.0 and i >= 1 and ei[i - 1] == -ei[i]:
+            pairs.append((er[i], ei[i], er[i - 1], ei[i - 1]))
+            i -= 2
+        else:
+            reals.append(er[i])
+            i -= 1
+    for j in range(0, len(reals) - 1, 2):
+        pairs.append((reals[j], 0.0, reals[j + 1], 0.0))
+    return pairs
+
+
+def schur(H, Q=None, conf: Optional[SchurConf] = None):
+    """Reduce an upper Hessenberg H to real Schur form S = Qs^T H Qs.
+
+    Mirrors ``starneig_SEP_SM_Schur`` (reference: sep_sm.h:159-227): Q (if
+    given) is accumulated on the right, eigenvalues are extracted from the
+    final Schur form.
+
+    Returns:
+      (S, Q, eig_real, eig_imag, info) with info == Error.SUCCESS or
+      Error.DID_NOT_CONVERGE (outputs then hold a partially reduced,
+      still-similar matrix — reference error semantics, error.h:105-111).
+    """
+    H = jnp.asarray(H)
+    n = H.shape[0]
+    dtype = H.dtype
+    Q = jnp.eye(n, dtype=dtype) if Q is None else jnp.asarray(Q)
+    conf = (conf or SchurConf()).resolve(n)
+
+    # static sizes
+    B = min(12, max(1, n // 8))                 # bulges per train (2B shifts)
+    SMALL_W = min(max(64, conf.small_limit), n)
+    WA = min(max(32, conf.aed_window_size + 2), n)
+    P = max(3 * B + 4, SMALL_W, WA) + 2
+    NP = n + 2 * P
+
+    Spad = jnp.zeros((NP, NP), dtype)
+    Spad = lax.dynamic_update_slice(Spad, H, (P, P))
+    Qpad = jnp.zeros((n, NP), dtype)
+    Qpad = lax.dynamic_update_slice(Qpad, Q, (0, P))
+
+    # deflation threshold (norm-stable default, reference core.c:2428-2462)
+    tiny = float(np.finfo(np.float32).tiny if dtype == jnp.float32
+                 else np.finfo(np.float64).tiny)
+    u = float(jnp.finfo(dtype).eps) / 2
+    if conf.left_threshold == DeflationCriterion.NORM_STABLE:
+        thresh = u * float(jnp.linalg.norm(H))
+    elif conf.left_threshold == DeflationCriterion.LAPACK:
+        thresh = tiny
+    else:
+        thresh = float(conf.left_threshold)
+    thresh = max(thresh, tiny)
+
+    eyeWA = jnp.eye(WA, dtype=dtype)
+    eyeSW = jnp.eye(SMALL_W, dtype=dtype)
+    info = Error.SUCCESS
+    ihi = n
+    it_seg = 0
+    last_ihi = ihi
+
+    while ihi > 0:
+        Spad, sub = _zero_negligible_pad(Spad, ihi, thresh, P)
+        sub = np.asarray(sub)
+        while ihi > 0:  # peel converged trailing 1x1/2x2 blocks
+            if ihi == 1 or sub[ihi - 2] == 0.0:
+                ihi -= 1
+            elif ihi == 2 or sub[ihi - 3] == 0.0:
+                ihi -= 2
+            else:
+                break
+        if ihi <= 0:
+            break
+        if ihi != last_ihi:
+            it_seg = 0
+            last_ihi = ihi
+        it_seg += 1
+        if it_seg > conf.iteration_limit:
+            info = Error.DID_NOT_CONVERGE
+            break
+
+        zeros = np.nonzero(sub[:ihi - 1] == 0.0)[0]
+        l = int(zeros[-1] + 1) if zeros.size else 0
+        seg = ihi - l
+
+        if seg <= SMALL_W:
+            win = _masked_window(Spad, l, seg, P, SMALL_W)
+            Tw, Vw, sinfo = small_schur(win, eyeSW, seg, thresh)
+            Spad, Qpad = _apply_window_transform(
+                Spad, Qpad, Vw, Tw, seg, l, False, jnp.zeros((), dtype),
+                P=P, W=SMALL_W)
+            if int(sinfo) != 0:
+                info = Error.DID_NOT_CONVERGE
+                break
+            ihi = l
+            continue
+
+        # ---- AED ----
+        w = min(WA, conf.aed_window_size, seg - 1)
+        kwtop = ihi - w
+        win = _masked_window(Spad, kwtop, w, P, WA)
+        s_spike = Spad[P + kwtop, P + kwtop - 1]
+        Tw, Vw, sinfo = small_schur(win, eyeWA, w, thresh)
+        Tw, Vw, kbot, dfail = _aed_deflate(Tw, Vw, s_spike, w, thresh)
+        kbot_i = int(kbot)
+        nd = w - kbot_i
+        # shifts come from the undeflated Schur diagonal *before* recondense
+        er_w, ei_w = extract_eigenvalues(Tw)
+        er_w = np.asarray(er_w)[:kbot_i]
+        ei_w = np.asarray(ei_w)[:kbot_i]
+        if kbot_i > 0:
+            Tw, Vw, beta = _aed_recondense(Tw, Vw, s_spike, kbot)
+        else:
+            beta = jnp.zeros((), dtype)
+        Spad, Qpad = _apply_window_transform(
+            Spad, Qpad, Vw, Tw, w, kwtop, True, beta, P=P, W=WA)
+        ihi -= nd
+
+        if nd > 0 and 100 * nd >= conf.aed_nibble * w:
+            continue  # plenty of deflation: go straight to another AED round
+        if ihi - l <= 2:
+            continue
+
+        ns = min(conf.aed_shift_count, max(2, (kbot_i // 2) * 2))
+        pairs = _pair_shifts(er_w, ei_w, ns)
+        if not pairs:
+            h = float(Spad[P + ihi - 1, P + ihi - 2])
+            d0 = float(Spad[P + ihi - 1, P + ihi - 1])
+            pairs = [(d0 + 0.75 * abs(h), 0.0, d0 + 0.75 * abs(h), 0.0)]
+
+        for base in range(0, len(pairs), B):
+            chunk = pairs[base:base + B]
+            arr = np.zeros((B, 4))
+            arr[:len(chunk)] = np.array(chunk)
+            if len(chunk) < B:
+                # duplicate shifts are still valid shifts — a shorter train
+                # is emulated by replicating the last pair
+                arr[len(chunk):] = arr[len(chunk) - 1]
+            Spad, Qpad = _sweep_batch(
+                Spad, Qpad, P + l, P + ihi,
+                jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]),
+                jnp.asarray(arr[:, 2]), jnp.asarray(arr[:, 3]), B=B)
+
+    S = lax.dynamic_slice(Spad, (P, P), (n, n))
+    Qf = lax.dynamic_slice(Qpad, (0, P), (n, n))
+    S, Qf = standardize_blocks(S, Qf)
+    er, ei = extract_eigenvalues(S)
+    return S, Qf, er, ei, info

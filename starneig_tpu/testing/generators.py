@@ -75,9 +75,11 @@ def known_spectrum_matrix(
             S[i, i] = lam
             eig[i] = lam
             i += 1
-    # fill strict upper triangle (above the blocks)
-    upper = np.triu(rng.standard_normal((n, n)), 2)
-    # keep the (i, i+1) entries of the 2x2 blocks; zero elsewhere on superdiag
+    # fill strict upper triangle (above the blocks); scaled by 1/sqrt(n) to
+    # keep the departure from normality polynomial — an unscaled random
+    # triangle makes eigenvalue condition numbers grow exponentially in n,
+    # which would defeat eigenvalue-comparison oracles entirely
+    upper = np.triu(rng.standard_normal((n, n)), 2) / np.sqrt(max(n, 2))
     S = S + upper.astype(dtype)
     Q0 = random_orthogonal(n, seed + 1, dtype)
     A = Q0 @ S @ Q0.T
@@ -141,8 +143,9 @@ def known_spectrum_pencil(
                 alpha[i] = S[i, i]
                 beta[i] = T[i, i]
             i += 1
-    S = S + np.triu(rng.standard_normal((n, n)), 2).astype(dtype)
-    T = T + np.triu(rng.standard_normal((n, n)), 1).astype(dtype)
+    scale = 1.0 / np.sqrt(max(n, 2))
+    S = S + (np.triu(rng.standard_normal((n, n)), 2) * scale).astype(dtype)
+    T = T + (np.triu(rng.standard_normal((n, n)), 1) * scale).astype(dtype)
     Q0 = random_orthogonal(n, seed + 1, dtype)
     Z0 = random_orthogonal(n, seed + 2, dtype)
     A = Q0 @ S @ Z0.T
