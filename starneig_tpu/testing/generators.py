@@ -145,7 +145,13 @@ def known_spectrum_pencil(
             i += 1
     scale = 1.0 / np.sqrt(max(n, 2))
     S = S + (np.triu(rng.standard_normal((n, n)), 2) * scale).astype(dtype)
-    T = T + (np.triu(rng.standard_normal((n, n)), 1) * scale).astype(dtype)
+    Tnoise = np.triu(rng.standard_normal((n, n)), 1) * scale
+    # keep T exactly diagonal inside 2x2 S-blocks: a nonzero T[i, i+1] there
+    # would change the planted pair eigenvalues
+    for i in range(n - 1):
+        if S[i + 1, i] != 0:
+            Tnoise[i, i + 1] = 0.0
+    T = T + Tnoise.astype(dtype)
     Q0 = random_orthogonal(n, seed + 1, dtype)
     Z0 = random_orthogonal(n, seed + 2, dtype)
     A = Q0 @ S @ Z0.T
