@@ -20,6 +20,10 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+from starneig_tpu.node import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import jax.numpy as jnp
 

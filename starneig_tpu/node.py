@@ -106,3 +106,21 @@ def default_mesh(n_devices: Optional[int] = None, axis: str = "d") -> jax.shardi
     node = get_node()
     devs = node.devices if n_devices is None else node.devices[:n_devices]
     return jax.sharding.Mesh(np.array(devs), (axis,))
+
+
+def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Enable jax's persistent compilation cache (best effort).
+
+    Compiles on the tunneled TPU backend are expensive (minutes for the
+    first dynamic-loop program); the on-disk cache amortizes them across
+    processes and benchmark rounds.
+    """
+    try:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - config knobs vary by jax version
+        log.debug("persistent compilation cache unavailable")

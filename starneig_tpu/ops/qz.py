@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from starneig_tpu.ops import primitives as prim
+from starneig_tpu.ops.control import make_bounded_while
 
 ITMAX_PER_BLOCK = 40
 
@@ -143,7 +144,9 @@ def standardize_gep_2x2(A2, B2):
     return A2n, B2n, cl, sl, cr, sr
 
 
-@functools.partial(jax.jit, static_argnames=("max_total_iter",))
+_QZ_RUNNERS = {}
+
+
 def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
              max_total_iter=0):
     """Generalized real Schur form of the active m x m pencil (H, T).
@@ -158,31 +161,44 @@ def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
       zero diagonal entries marking infinite eigenvalues; info = 0 on
       success else the failing row + 1.
     """
+    H = jnp.asarray(H)
     w = H.shape[0]
     dtype = H.dtype
-    ulp = jnp.finfo(dtype).eps
-    floor = jnp.finfo(dtype).tiny ** 0.5
     if max_total_iter == 0:
         max_total_iter = 40 * w
     WP = w + 3
     Hp = jnp.zeros((WP, WP), dtype).at[:w, :w].set(H)
-    Tp = jnp.zeros((WP, WP), dtype).at[:w, :w].set(T)
-    Qp = jnp.zeros((w, WP), dtype).at[:, :w].set(Q)
-    Zp = jnp.zeros((w, WP), dtype).at[:, :w].set(Z)
+    Tp = jnp.zeros((WP, WP), dtype).at[:w, :w].set(jnp.asarray(T))
+    Qp = jnp.zeros((w, WP), dtype).at[:, :w].set(jnp.asarray(Q))
+    Zp = jnp.zeros((w, WP), dtype).at[:, :w].set(jnp.asarray(Z))
+    key = (w, str(dtype))
+    if key not in _QZ_RUNNERS:
+        _QZ_RUNNERS[key] = _build_qz_machine(w)
+    run = _QZ_RUNNERS[key]
+    init = (Hp, Tp, Qp, Zp, jnp.int32(m - 1), jnp.int32(0), jnp.int32(0),
+            jnp.bool_(False), jnp.asarray(thresh_h, dtype),
+            jnp.asarray(thresh_t, dtype), jnp.int32(ilo),
+            jnp.int32(max_total_iter))
+    out = run(init)
+    Hp, Tp, Qp, Zp, i, its, total, failed = out[:8]
+    info = jnp.where(failed, i + 1, 0)
+    return Hp[:w, :w], Tp[:w, :w], Qp[:, :w], Zp[:, :w], info
+
+
+def _build_qz_machine(w):
+    """cond/body state machine for window size w (cached per shape)."""
+    WP = w + 3
     idx = jnp.arange(w)
 
-    def find_l(Hp, i):
+    def find_l(Hp, i, thresh_h, ilo):
+        ulp = jnp.finfo(Hp.dtype).eps
         d = jnp.diagonal(Hp[:w, :w])
         sub = jnp.diagonal(Hp[:w, :w], offset=-1)
         tst = jnp.abs(d[:-1]) + jnp.abs(d[1:])
         neg = jnp.abs(sub) <= jnp.maximum(ulp * tst, thresh_h)
         neg = jnp.concatenate([jnp.ones((1,), bool), neg])
         cand = neg & (idx > ilo) & (idx <= i)
-        return jnp.max(jnp.where(cand, idx, ilo))
-
-    def t_negligible(Tp, j):
-        tn = jnp.abs(Tp[j, j])
-        return tn <= jnp.maximum(thresh_t, ulp * (jnp.abs(Tp[jnp.maximum(j - 1, 0), j]) + tn))
+        return jnp.max(jnp.where(cand, idx, ilo)).astype(jnp.int32)
 
     # ---- rotation application helpers (full padded width) ----
     def lrot(M, r0, r1, c, s):
@@ -206,7 +222,8 @@ def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
     # infinite-eigenvalue chase: T[j,j] ~ 0 -> chase to bottom, deflate
     # ------------------------------------------------------------------
     def process_inf(args):
-        Hp, Tp, Qp, Zp, j, l, i = args
+        Hp, Tp, Qp, Zp, j, l, i, thresh_t = args
+        ulp = jnp.finfo(Hp.dtype).eps
         Tp = Tp.at[j, j].set(0.0)
 
         def body(jch, carry):
@@ -267,21 +284,26 @@ def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
     # ------------------------------------------------------------------
     # double-shift QZ sweep over [l, i]
     # ------------------------------------------------------------------
-    def sweep(Hp, Tp, Qp, Zp, l, i):
+    def sweep(Hp, Tp, Qp, Zp, l, i, its):
+        floor = jnp.finfo(Hp.dtype).tiny ** 0.5
         Hsq = Hp[:w, :w]
         Tsq = Tp[:w, :w]
-        sr1, si1, sr2, si2 = _shifts_qz(Hsq, Tsq, i, 0, floor)
+        sr1, si1, sr2, si2 = _shifts_qz(Hsq, Tsq, i, its, floor)
 
-        def step(k, carry):
+        def step(t, carry):
             Hp, Tp, Qp, Zp = carry
-            use3 = k <= i - 2
+            k_real = l + t
+            active = k_real <= i - 1
+            k = jnp.where(active, k_real, jnp.int32(0) + l * 0)
+            use3 = active & (k_real <= i - 2)
             mask = jnp.stack([jnp.bool_(True), jnp.bool_(True), use3])
 
             col = lax.dynamic_slice(Hp, (k, jnp.maximum(k - 1, 0)), (3, 1))[:, 0]
             col = jnp.where(use3, col, col.at[2].set(0.0))
             v_intro = _first_col_qz(Hp, Tp, l, sr1, si1, sr2, si2, floor)
-            x = jnp.where(k == l, v_intro, col)
+            x = jnp.where(k_real == l, v_intro, col)
             v, tau, beta = prim.householder(x, mask)
+            tau = jnp.where(active, tau, 0.0)
 
             # left reflector on H, T rows k..k+2; Q cols k..k+2
             rows = lax.dynamic_slice(Hp, (k, k * 0), (3, WP))
@@ -292,9 +314,10 @@ def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
             Qp = lax.dynamic_update_slice(Qp, qc - tau * jnp.outer(qc @ v, v), (k * 0, k))
 
             def fix_col(Hp):
-                patch = jnp.stack([beta, 0.0 * beta, jnp.where(use3, 0.0, Hp[k + 2, k - 1])])
-                return lax.dynamic_update_slice(Hp, patch[:, None], (k, k - 1))
-            Hp = lax.cond(k > l, fix_col, lambda M: M, Hp)
+                km1 = jnp.maximum(k - 1, 0)
+                patch = jnp.stack([beta, 0.0 * beta, jnp.where(use3, 0.0, Hp[k + 2, km1])])
+                return lax.dynamic_update_slice(Hp, patch[:, None], (k, km1))
+            Hp = lax.cond(active & (k_real > l), fix_col, lambda M: M, Hp)
 
             # right 3-reflector from T row k+2 zeroing T[k+2, k], T[k+2, k+1]
             trow = lax.dynamic_slice(Tp, (k + 2, k), (1, 3))[0]
@@ -302,7 +325,7 @@ def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
             rrev = trow[::-1]
             vr_r, tau_r, beta_r = prim.householder(rrev, jnp.array([True, True, True]))
             vr = vr_r[::-1]
-            tau_r = jnp.where(use3, tau_r, 0.0)
+            tau_r = jnp.where(use3 & active, tau_r, 0.0)
             cols = lax.dynamic_slice(Hp, (k * 0, k), (WP, 3))
             Hp = lax.dynamic_update_slice(Hp, cols - tau_r * jnp.outer(cols @ vr, vr), (k * 0, k))
             cols = lax.dynamic_slice(Tp, (k * 0, k), (WP, 3))
@@ -316,19 +339,21 @@ def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
 
             # right rotation zeroing T[k+1, k] on cols (k, k+1)
             c2, s2, _ = prim.givens(Tp[k + 1, k + 1], Tp[k + 1, k])
+            c2 = jnp.where(active, c2, 1.0)
+            s2 = jnp.where(active, s2, 0.0)
             a = Hp[:, k]
             b = Hp[:, k + 1]
             Hp = Hp.at[:, k].set(c2 * a - s2 * b).at[:, k + 1].set(s2 * a + c2 * b)
             a = Tp[:, k]
             b = Tp[:, k + 1]
             Tp = Tp.at[:, k].set(c2 * a - s2 * b).at[:, k + 1].set(s2 * a + c2 * b)
-            Tp = Tp.at[k + 1, k].set(0.0)
+            Tp = Tp.at[k + 1, k].set(jnp.where(active, 0.0, Tp[k + 1, k]))
             a = Zp[:, k]
             b = Zp[:, k + 1]
             Zp = Zp.at[:, k].set(c2 * a - s2 * b).at[:, k + 1].set(s2 * a + c2 * b)
             return Hp, Tp, Qp, Zp
 
-        return lax.fori_loop(l, i, step, (Hp, Tp, Qp, Zp))
+        return lax.fori_loop(0, w, step, (Hp, Tp, Qp, Zp))
 
     # ------------------------------------------------------------------
     # 2x2 deflation with generalized standardization
@@ -352,12 +377,13 @@ def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
     # driver state machine
     # ------------------------------------------------------------------
     def cond(st):
-        Hp, Tp, Qp, Zp, i, its, total, failed = st
-        return (i >= ilo) & (~failed) & (total < max_total_iter)
+        i, its, total, failed, ilo, maxiter = st[4], st[5], st[6], st[7], st[10], st[11]
+        return (i >= ilo) & (~failed) & (total < maxiter)
 
     def body(st):
-        Hp, Tp, Qp, Zp, i, its, total, failed = st
-        l = find_l(Hp, i)
+        Hp, Tp, Qp, Zp, i, its, total, failed, thresh_h, thresh_t, ilo, maxiter = st
+        ulp = jnp.finfo(Hp.dtype).eps
+        l = find_l(Hp, i, thresh_h, ilo)
         Hp = lax.cond(l > ilo, lambda M: M.at[l, l - 1].set(0.0), lambda M: M, Hp)
 
         # infinite eigenvalue in [l, i]? (negligible T diagonal)
@@ -379,8 +405,10 @@ def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
 
         def do_inf(args):
             Hp, Tp, Qp, Zp = args
-            Hp, Tp, Qp, Zp, new_i = process_inf((Hp, Tp, Qp, Zp, jinf, l, i))
-            return Hp, Tp, Qp, Zp, new_i, jnp.zeros_like(its), total + 1, failed
+            Hp, Tp, Qp, Zp, new_i = process_inf(
+                (Hp, Tp, Qp, Zp, jinf, l, i, thresh_t))
+            return (Hp, Tp, Qp, Zp, new_i, jnp.zeros_like(its), total + 1,
+                    failed, thresh_h, thresh_t, ilo, maxiter)
 
         def no_inf(args):
             Hp, Tp, Qp, Zp = args
@@ -391,19 +419,18 @@ def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
                     l == i - 1, lambda a: deflate2(*a, i), lambda a: a,
                     (Hp, Tp, Qp, Zp))
                 new_i = jnp.where(l == i, i - 1, i - 2)
-                return Hp, Tp, Qp, Zp, new_i, jnp.zeros_like(its), total + 1, failed
+                return (Hp, Tp, Qp, Zp, new_i, jnp.zeros_like(its), total + 1,
+                        failed, thresh_h, thresh_t, ilo, maxiter)
 
             def do_sweep(args):
                 Hp, Tp, Qp, Zp = args
-                Hp, Tp, Qp, Zp = sweep(Hp, Tp, Qp, Zp, l, i)
+                Hp, Tp, Qp, Zp = sweep(Hp, Tp, Qp, Zp, l, i, its)
                 nf = its + 1 >= ITMAX_PER_BLOCK
-                return Hp, Tp, Qp, Zp, i, its + 1, total + 1, nf
+                return (Hp, Tp, Qp, Zp, i, its + 1, total + 1, nf,
+                        thresh_h, thresh_t, ilo, maxiter)
 
             return lax.cond(l >= i - 1, do_deflate, do_sweep, (Hp, Tp, Qp, Zp))
 
         return lax.cond(has_inf, do_inf, no_inf, (Hp, Tp, Qp, Zp))
 
-    init = (Hp, Tp, Qp, Zp, m - 1, jnp.int32(0), jnp.int32(0), jnp.bool_(False))
-    Hp, Tp, Qp, Zp, i, its, total, failed = lax.while_loop(cond, body, init)
-    info = jnp.where(failed, i + 1, 0)
-    return Hp[:w, :w], Tp[:w, :w], Qp[:, :w], Zp[:, :w], info
+    return make_bounded_while(cond, body, chunk=32)

@@ -4,8 +4,9 @@ TPU-native rebuild of the reference reorder component
 (``src/reorder/``, SURVEY.md section 2.4): selected 1x1/2x2 blocks bubble to
 the leading diagonal positions through chains of overlapping diagonal
 windows.  All swap work is confined to a fixed-size window processed by one
-jitted kernel (a ``lax.while_loop`` over adjacent block swaps accumulating a
-local orthogonal Q_w); the off-window rows/columns and Q are then updated
+jitted kernel (a bounded-while chunk loop over adjacent block swaps
+accumulating a local orthogonal Q_w, see ops/control.py); the off-window
+rows/columns and Q are then updated
 with three large GEMMs (MXU work).  Windows chain bottom-to-top, each
 carrying up to ``cap`` selected rows (the reference's values-per-chain,
 expert.h:439-525); outer passes repeat until the selection is a leading
@@ -33,6 +34,7 @@ from jax import lax
 
 from starneig_tpu.config import ReorderConf
 from starneig_tpu.errors import Error
+from starneig_tpu.ops.control import make_bounded_while
 from starneig_tpu.ops.swaps import swap_adjacent
 
 
@@ -40,7 +42,6 @@ from starneig_tpu.ops.swaps import swap_adjacent
 # window kernel
 # ---------------------------------------------------------------------------
 
-@jax.jit
 def _window_bubble(Tw, sel, dst0, dst_limit, wlim):
     """Bubble selected blocks to the top of the window.
 
@@ -64,71 +65,82 @@ def _window_bubble(Tw, sel, dst0, dst_limit, wlim):
     Qp = jnp.zeros((W, WP), dtype).at[:, :W].set(jnp.eye(W, dtype=dtype))
     sel = jnp.concatenate([sel, jnp.zeros((4,), bool)])  # pad: dynamic slices
     # near the bottom edge must not clamp (that would shift the window)
-    idx = jnp.arange(W, dtype=jnp.int32)
-
-    def bs_mask(Tp):
-        sub = jnp.diagonal(Tp[:W, :W], offset=-1)
-        return jnp.concatenate([jnp.ones((1,), bool), sub == 0])
-
-    def bsize(Tp, s):
-        below = jnp.where(s + 1 < W, Tp[jnp.minimum(s + 1, W - 1), s], 0.0)
-        return jnp.where(below == 0, 1, 2)
-
-    def cond(state):
-        Tp, Qp, sel, dst, src, nfail, steps, done = state
-        return (~done) & (steps < 4 * W * W)
-
-    def scan_branch(state):
-        Tp, Qp, sel, dst, src, nfail, steps, done = state
-        bs = bs_mask(Tp)
-        cand = bs & sel[:W] & (idx >= dst) & (idx < wlim)
-        s = jnp.min(jnp.where(cand, idx, W))
-        new_done = (s >= W) | (dst >= dst_limit)
-        at_dst = (s == dst) & ~new_done
-        sz = bsize(Tp, jnp.minimum(s, W - 1))
-        dst = jnp.where(at_dst, dst + sz, dst)
-        src = jnp.where(new_done | at_dst, -1, s)
-        return Tp, Qp, sel, dst, src, nfail, steps + 1, new_done
-
-    def swap_branch(state):
-        Tp, Qp, sel, dst, src, nfail, steps, done = state
-        bs = bs_mask(Tp)
-        # block start immediately above src
-        a = jnp.where((src >= 2) & ~bs[jnp.maximum(src - 1, 0)], src - 2, src - 1)
-        p = src - a
-        q = bsize(Tp, src)
-        D4 = lax.dynamic_slice(Tp, (a, a), (4, 4))
-        Qs, Dh, accept = swap_adjacent(D4, p, q)
-        # apply Qs: rows a..a+4, then cols a..a+4, then the exact block
-        rows = lax.dynamic_slice(Tp, (a, a * 0), (4, WP))
-        Tp = lax.dynamic_update_slice(Tp, Qs.T @ rows, (a, a * 0))
-        cols = lax.dynamic_slice(Tp, (a * 0, a), (WP, 4))
-        Tp = lax.dynamic_update_slice(Tp, cols @ Qs, (a * 0, a))
-        Tp = lax.dynamic_update_slice(Tp, Dh, (a, a))
-        qc = lax.dynamic_slice(Qp, (a * 0, a), (W, 4))
-        Qp = lax.dynamic_update_slice(Qp, qc @ Qs, (a * 0, a))
-        # selection bookkeeping over the 4 rows at a
-        old4 = lax.dynamic_slice(sel, (a,), (4,))
-        i4 = jnp.arange(4)
-        moved = jnp.where(i4 < q, True, jnp.where(i4 < p + q, False, old4))
-        stuck = jnp.where((i4 >= p) & (i4 < p + q), False, old4)
-        new4 = jnp.where(accept, moved, stuck)
-        sel = lax.dynamic_update_slice(sel, new4, (a,))
-        new_src = jnp.where(accept, a, -1)
-        arrived = accept & (new_src == dst)
-        dst = jnp.where(arrived, dst + q, dst)
-        new_src = jnp.where(arrived, -1, new_src)
-        nfail = nfail + jnp.where(accept, 0, 1)
-        return Tp, Qp, sel, dst, new_src, nfail, steps + 1, done
-
-    def body(state):
-        src = state[4]
-        return lax.cond(src < 0, scan_branch, swap_branch, state)
-
     init = (Tp, Qp, sel, jnp.int32(dst0), jnp.int32(-1), jnp.int32(0),
-            jnp.int32(0), jnp.bool_(False))
-    Tp, Qp, sel, dst, src, nfail, steps, done = lax.while_loop(cond, body, init)
+            jnp.int32(0), jnp.bool_(False), jnp.int32(dst_limit),
+            jnp.int32(wlim))
+    Tp, Qp, sel, dst, src, nfail, steps, done, _dl, _wl = _run_bubble(init)
     return Tp[:W, :W], Qp[:, :W], sel[:W], dst, nfail
+
+
+def _bs_mask(Tp, W):
+    sub = jnp.diagonal(Tp[:W, :W], offset=-1)
+    return jnp.concatenate([jnp.ones((1,), bool), sub == 0])
+
+
+def _bsize(Tp, W, s):
+    below = jnp.where(s + 1 < W, Tp[jnp.minimum(s + 1, W - 1), s], 0.0)
+    return jnp.where(below == 0, 1, 2)
+
+
+def _bubble_cond(state):
+    Tp = state[0]
+    W = state[1].shape[0]
+    dst, src, nfail, steps, done = state[3], state[4], state[5], state[6], state[7]
+    return (~done) & (steps < 4 * W * W)
+
+
+def _bubble_scan(state):
+    Tp, Qp, sel, dst, src, nfail, steps, done, dst_limit, wlim = state
+    W = Qp.shape[0]
+    idx = jnp.arange(W, dtype=jnp.int32)
+    bs = _bs_mask(Tp, W)
+    cand = bs & sel[:W] & (idx >= dst) & (idx < wlim)
+    s = jnp.min(jnp.where(cand, idx, W))
+    new_done = (s >= W) | (dst >= dst_limit)
+    at_dst = (s == dst) & ~new_done
+    sz = _bsize(Tp, W, jnp.minimum(s, W - 1))
+    dst = jnp.where(at_dst, dst + sz, dst)
+    src = jnp.where(new_done | at_dst, -1, s)
+    return Tp, Qp, sel, dst, src, nfail, steps + 1, new_done, dst_limit, wlim
+
+
+def _bubble_swap(state):
+    Tp, Qp, sel, dst, src, nfail, steps, done, dst_limit, wlim = state
+    W = Qp.shape[0]
+    WP = W + 4
+    bs = _bs_mask(Tp, W)
+    # block start immediately above src
+    a = jnp.where((src >= 2) & ~bs[jnp.maximum(src - 1, 0)], src - 2, src - 1)
+    p = src - a
+    q = _bsize(Tp, W, src)
+    D4 = lax.dynamic_slice(Tp, (a, a), (4, 4))
+    Qs, Dh, accept = swap_adjacent(D4, p, q)
+    rows = lax.dynamic_slice(Tp, (a, a * 0), (4, WP))
+    Tp = lax.dynamic_update_slice(Tp, Qs.T @ rows, (a, a * 0))
+    cols = lax.dynamic_slice(Tp, (a * 0, a), (WP, 4))
+    Tp = lax.dynamic_update_slice(Tp, cols @ Qs, (a * 0, a))
+    Tp = lax.dynamic_update_slice(Tp, Dh, (a, a))
+    qc = lax.dynamic_slice(Qp, (a * 0, a), (W, 4))
+    Qp = lax.dynamic_update_slice(Qp, qc @ Qs, (a * 0, a))
+    old4 = lax.dynamic_slice(sel, (a,), (4,))
+    i4 = jnp.arange(4)
+    moved = jnp.where(i4 < q, True, jnp.where(i4 < p + q, False, old4))
+    stuck = jnp.where((i4 >= p) & (i4 < p + q), False, old4)
+    new4 = jnp.where(accept, moved, stuck)
+    sel = lax.dynamic_update_slice(sel, new4, (a,))
+    new_src = jnp.where(accept, a, -1)
+    arrived = accept & (new_src == dst)
+    dst = jnp.where(arrived, dst + q, dst)
+    new_src = jnp.where(arrived, -1, new_src)
+    nfail = nfail + jnp.where(accept, 0, 1)
+    return Tp, Qp, sel, dst, new_src, nfail, steps + 1, done, dst_limit, wlim
+
+
+def _bubble_body(state):
+    return lax.cond(state[4] < 0, _bubble_scan, _bubble_swap, state)
+
+
+_run_bubble = make_bounded_while(_bubble_cond, _bubble_body, chunk=96)
 
 
 # ---------------------------------------------------------------------------

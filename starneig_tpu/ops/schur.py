@@ -40,6 +40,7 @@ from jax import lax
 from starneig_tpu.config import SchurConf, DeflationCriterion
 from starneig_tpu.errors import Error
 from starneig_tpu.ops import primitives as prim
+from starneig_tpu.ops.control import make_bounded_while
 from starneig_tpu.ops.small_schur import small_schur
 from starneig_tpu.ops.swaps import swap_adjacent
 from starneig_tpu.ops.eigvals import extract_eigenvalues
@@ -143,7 +144,6 @@ def standardize_blocks(S, Q):
 # AED helpers
 # ---------------------------------------------------------------------------
 
-@jax.jit
 def _aed_deflate(Tw, Vw, s, w, thresh):
     """Bottom-up spike deflation with block moves (reference core.c:783-1267).
 
@@ -161,64 +161,77 @@ def _aed_deflate(Tw, Vw, s, w, thresh):
     Tp = jnp.zeros((WP, WP), dtype).at[:WA, :WA].set(Tw)
     Vp = jnp.zeros((WA, WP), dtype).at[:, :WA].set(Vw)
 
-    def size_ending_at(Tp, e):
-        """Size of the block whose last row is e."""
-        coupled = jnp.where(e >= 1, Tp[e, jnp.maximum(e - 1, 0)], 0.0)
-        return jnp.where(coupled == 0, 1, 2)
-
-    def size_starting_at(Tp, st):
-        below = jnp.where(st + 1 < WA, Tp[jnp.minimum(st + 1, WA - 1), st], 0.0)
-        return jnp.where(below == 0, 1, 2)
-
-    def cond(st):
-        Tp, Vp, kbot, ilst, src, fail, steps = st
-        return (kbot > ilst) & (~fail) & (steps < 4 * WA * WA)
-
-    def test_branch(st):
-        Tp, Vp, kbot, ilst, src, fail, steps = st
-        sz = size_ending_at(Tp, kbot - 1)
-        start = kbot - sz
-        sp0 = s * Vp[0, jnp.maximum(start, 0)]
-        sp1 = s * Vp[0, jnp.maximum(kbot - 1, 0)]
-        foot = jnp.maximum(jnp.abs(sp0), jnp.abs(sp1) * (sz == 2))
-        tst = jnp.abs(Tp[start, start]) + jnp.where(
-            sz == 2, jnp.abs(Tp[kbot - 1, kbot - 1]), 0.0)
-        deflatable = foot <= jnp.maximum(ulp * tst, thresh)
-        new_kbot = jnp.where(deflatable, start, kbot)
-        new_src = jnp.where(deflatable, jnp.int32(-1), start.astype(jnp.int32))
-        at_front = (~deflatable) & (start == ilst)
-        new_ilst = jnp.where(at_front, ilst + sz, ilst)
-        new_src = jnp.where(at_front, jnp.int32(-1), new_src)
-        return Tp, Vp, new_kbot, new_ilst, new_src, fail, steps + 1
-
-    def move_branch(st):
-        Tp, Vp, kbot, ilst, src, fail, steps = st
-        p = size_ending_at(Tp, src - 1)
-        a = src - p
-        q = size_starting_at(Tp, src)
-        D4 = lax.dynamic_slice(Tp, (a, a), (4, 4))
-        Qs, Dh, accept = swap_adjacent(D4, p, q)
-        rows = lax.dynamic_slice(Tp, (a, a * 0), (4, WP))
-        Tp = lax.dynamic_update_slice(Tp, Qs.T @ rows, (a, a * 0))
-        cols = lax.dynamic_slice(Tp, (a * 0, a), (WP, 4))
-        Tp = lax.dynamic_update_slice(Tp, cols @ Qs, (a * 0, a))
-        Tp = lax.dynamic_update_slice(Tp, Dh, (a, a))
-        vc = lax.dynamic_slice(Vp, (a * 0, a), (WA, 4))
-        Vp = lax.dynamic_update_slice(Vp, vc @ Qs, (a * 0, a))
-        new_src = jnp.where(accept, a.astype(jnp.int32), jnp.int32(-1))
-        arrived = accept & (new_src == ilst)
-        new_ilst = jnp.where(arrived, ilst + q, ilst)
-        new_src = jnp.where(arrived, jnp.int32(-1), new_src)
-        new_fail = fail | (~accept)
-        return Tp, Vp, kbot, new_ilst, new_src, new_fail, steps + 1
-
-    def body(st):
-        return lax.cond(st[4] < 0, test_branch, move_branch, st)
-
     init = (Tp, Vp, jnp.int32(w), jnp.int32(0), jnp.int32(-1),
-            jnp.bool_(False), jnp.int32(0))
-    Tp, Vp, kbot, ilst, src, fail, steps = lax.while_loop(cond, body, init)
+            jnp.bool_(False), jnp.int32(0), jnp.asarray(s, dtype),
+            jnp.asarray(thresh, dtype))
+    Tp, Vp, kbot, ilst, src, fail, steps, _s, _t = _run_aed_deflate(init)
     return Tp[:WA, :WA], Vp[:, :WA], kbot, fail
+
+
+def _size_ending_at(Tp, e):
+    coupled = jnp.where(e >= 1, Tp[e, jnp.maximum(e - 1, 0)], 0.0)
+    return jnp.where(coupled == 0, 1, 2)
+
+
+def _size_starting_at(Tp, WA, st):
+    below = jnp.where(st + 1 < WA, Tp[jnp.minimum(st + 1, WA - 1), st], 0.0)
+    return jnp.where(below == 0, 1, 2)
+
+
+def _aed_cond(st):
+    Tp, Vp, kbot, ilst, src, fail, steps = st[:7]
+    WA = Vp.shape[0]
+    return (kbot > ilst) & (~fail) & (steps < 4 * WA * WA)
+
+
+def _aed_test(st):
+    Tp, Vp, kbot, ilst, src, fail, steps, s, thresh = st
+    ulp = jnp.finfo(Tp.dtype).eps
+    sz = _size_ending_at(Tp, kbot - 1)
+    start = kbot - sz
+    sp0 = s * Vp[0, jnp.maximum(start, 0)]
+    sp1 = s * Vp[0, jnp.maximum(kbot - 1, 0)]
+    foot = jnp.maximum(jnp.abs(sp0), jnp.abs(sp1) * (sz == 2))
+    tst = jnp.abs(Tp[start, start]) + jnp.where(
+        sz == 2, jnp.abs(Tp[kbot - 1, kbot - 1]), 0.0)
+    deflatable = foot <= jnp.maximum(ulp * tst, thresh)
+    new_kbot = jnp.where(deflatable, start, kbot)
+    new_src = jnp.where(deflatable, jnp.int32(-1), start.astype(jnp.int32))
+    at_front = (~deflatable) & (start == ilst)
+    new_ilst = jnp.where(at_front, ilst + sz, ilst)
+    new_src = jnp.where(at_front, jnp.int32(-1), new_src)
+    return Tp, Vp, new_kbot, new_ilst, new_src, fail, steps + 1, s, thresh
+
+
+def _aed_move(st):
+    Tp, Vp, kbot, ilst, src, fail, steps, s, thresh = st
+    WA = Vp.shape[0]
+    WP = Tp.shape[0]
+    p = _size_ending_at(Tp, src - 1)
+    a = src - p
+    q = _size_starting_at(Tp, WA, src)
+    D4 = lax.dynamic_slice(Tp, (a, a), (4, 4))
+    Qs, Dh, accept = swap_adjacent(D4, p, q)
+    rows = lax.dynamic_slice(Tp, (a, a * 0), (4, WP))
+    Tp = lax.dynamic_update_slice(Tp, Qs.T @ rows, (a, a * 0))
+    cols = lax.dynamic_slice(Tp, (a * 0, a), (WP, 4))
+    Tp = lax.dynamic_update_slice(Tp, cols @ Qs, (a * 0, a))
+    Tp = lax.dynamic_update_slice(Tp, Dh, (a, a))
+    vc = lax.dynamic_slice(Vp, (a * 0, a), (WA, 4))
+    Vp = lax.dynamic_update_slice(Vp, vc @ Qs, (a * 0, a))
+    new_src = jnp.where(accept, a.astype(jnp.int32), jnp.int32(-1))
+    arrived = accept & (new_src == ilst)
+    new_ilst = jnp.where(arrived, ilst + q, ilst)
+    new_src = jnp.where(arrived, jnp.int32(-1), new_src)
+    new_fail = fail | (~accept)
+    return Tp, Vp, kbot, new_ilst, new_src, new_fail, steps + 1, s, thresh
+
+
+def _aed_body(st):
+    return lax.cond(st[4] < 0, _aed_test, _aed_move, st)
+
+
+_run_aed_deflate = make_bounded_while(_aed_cond, _aed_body, chunk=64)
 
 
 @jax.jit
@@ -301,13 +314,30 @@ def _apply_window_transform(Spad, Qpad, Vw, Tw, active_m, pos, spike, beta,
 # batched multishift sweep
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("B",))
+SWEEP_CHUNK = 512
+
+
 def _sweep_batch(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int):
     """Chase B bulges (2B shifts) from the top of [l, ihi) off the bottom.
 
+    l/ihi are *Python ints* in padded coordinates; the chase dispatches
+    ceil(steps / SWEEP_CHUNK) jitted fixed-size chunks asynchronously (the
+    step count is known up front, so no host synchronization is needed).
+    """
+    steps = (ihi - l) - 2 + 3 * (B - 1) + 1
+    for s0 in range(0, steps, SWEEP_CHUNK):
+        Spad, Qpad = _sweep_chunk(Spad, Qpad, l, ihi, jnp.int32(s0),
+                                  sr1, si1, sr2, si2, B=B)
+    return Spad, Qpad
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("B",))
+def _sweep_chunk(Spad, Qpad, l, ihi, s0, sr1, si1, sr2, si2, B: int):
+    """SWEEP_CHUNK masked train-advance steps starting at step s0.
+
     Every step advances the whole train one row: the train occupies 3B
     contiguous rows, all reflectors are disjoint and applied as batched
-    rank-1 updates.  l, ihi are positions in padded coordinates.
+    rank-1 updates.
     """
     NP = Spad.shape[0]
     nq = Qpad.shape[0]
@@ -316,11 +346,14 @@ def _sweep_batch(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int):
     seg = ihi - l
     steps = seg - 2 + 3 * (B - 1) + 1
 
-    def step(s, carry):
+    def step(t, carry):
+        s = s0 + t
         Spad, Qpad = carry
+        in_range = s < steps
         k = (l + s - 3 * bidx).astype(jnp.int32)   # (B,) bulge columns
-        active = (k >= l) & (k <= ihi - 2)
-        intro = k == l
+        k = jnp.where(in_range, k, l)              # safe indices when masked
+        active = in_range & (k >= l) & (k <= ihi - 2) & (l + s - 3 * bidx == k)
+        intro = active & (l + s - 3 * bidx == l)
         use3 = k <= ihi - 3
 
         def gather_col(ki):
@@ -340,7 +373,7 @@ def _sweep_batch(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int):
         tau = jnp.where(active, tau, 0.0)
 
         # train block rows [lo, lo+3B): bulge i sits at offset 3*(B-1-i)
-        lo = l + s - 3 * (B - 1)
+        lo = jnp.where(in_range, l + s - 3 * (B - 1), l)
         vs = v[::-1]
         taus = tau[::-1]
         R = lax.dynamic_slice(Spad, (lo, lo * 0), (3 * B, NP)).reshape(B, 3, NP)
@@ -375,7 +408,7 @@ def _sweep_batch(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int):
         Qpad = lax.dynamic_update_slice(Qpad, Zc.reshape(nq, 3 * B), (lo * 0, lo))
         return Spad, Qpad
 
-    Spad, Qpad = lax.fori_loop(0, steps, step, (Spad, Qpad))
+    Spad, Qpad = lax.fori_loop(0, SWEEP_CHUNK, step, (Spad, Qpad))
     return Spad, Qpad
 
 
