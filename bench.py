@@ -35,7 +35,8 @@ def main():
     from starneig_tpu.api import sep
 
     rng = np.random.default_rng(0)
-    A = jnp.asarray(rng.standard_normal((n, n)), dtype=dtype)
+    A_host = rng.standard_normal((n, n))
+    A = jnp.asarray(A_host, dtype=dtype)
 
     # warm-up compile on a small problem so timings measure execution
     Aw = jnp.asarray(rng.standard_normal((n, n)), dtype=dtype)
@@ -54,7 +55,8 @@ def main():
 
     # correctness gate: residual in units of u must stay within the
     # reference's fail threshold (10,000 u)
-    S_np, Q_np, A_np = map(np.asarray, (S, Q2, A))
+    S_np, Q_np = map(np.asarray, (S, Q2))
+    A_np = A_host.astype(np.asarray(S_np).dtype)
     u = float(jnp.finfo(dtype).eps) / 2
     res = float(np.linalg.norm(Q_np @ S_np @ Q_np.T - A_np) /
                 max(np.linalg.norm(A_np), 1e-300) / u)

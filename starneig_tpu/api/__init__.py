@@ -7,3 +7,4 @@
 """
 
 from starneig_tpu.api import sep
+from starneig_tpu.api import gep

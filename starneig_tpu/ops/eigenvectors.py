@@ -213,3 +213,198 @@ def eigenvectors_schur(S, Q, select, conf: Optional[EigenvectorsConf] = None):
             c += 1
     X = _backtransform(Q, jnp.asarray(Y))
     return X, Error.SUCCESS
+
+
+# ===========================================================================
+# generalized (pencil) eigenvectors — reference src/eigenvectors/generalized/
+# (the "sinew" robust solve, sirobust-geig.c:760); here the same backward
+# substitution on (beta*S - alpha*T) x = 0, vmapped over eigenvalues, with
+# infinite eigenvalues (beta == 0) handled by the same recurrence.
+# ===========================================================================
+
+@jax.jit
+def _backsolve_all_gep(S, T, ar, ai, bt, pos, is_pair, valid):
+    """Backward substitution for (beta*S - alpha*T) x = 0, batched.
+
+    alpha = ar + i*ai, beta = bt (real; the pair case carries the complex
+    alpha of the eigenvalue with positive imaginary part).
+    """
+    n = S.shape[0]
+    dtype = S.dtype
+    smlnum = jnp.finfo(dtype).tiny / jnp.finfo(dtype).eps
+    sub = jnp.concatenate([jnp.diagonal(S, offset=-1), jnp.zeros((1,), dtype)])
+    rows = jnp.arange(n)
+
+    def one(lr, li, b, p, pair):
+        # M = b*S - (lr + i*li)*T ; solve M x = 0 with x supported on [0, p+1]
+        xr = jnp.zeros(n, dtype)
+        xi = jnp.zeros(n, dtype)
+        # starting vector from the eigenvalue's own block
+        s12 = S[p, jnp.minimum(p + 1, n - 1)]
+        t12 = T[p, jnp.minimum(p + 1, n - 1)]
+        # pair: null vector of the (singular) 2x2 of M at (p, p+1); pick the
+        # row with the larger magnitude for robustness
+        k1p = jnp.minimum(p + 1, n - 1)
+        m11r = b * S[p, p] - lr * T[p, p]
+        m11i = -li * T[p, p]
+        m12r = b * s12 - lr * t12
+        m12i = -li * t12
+        m21r = b * S[k1p, p]
+        m21i = 0.0 * m21r
+        m22r = b * S[k1p, k1p] - lr * T[k1p, k1p]
+        m22i = -li * T[k1p, k1p]
+        row0 = m11r * m11r + m11i * m11i + m12r * m12r + m12i * m12i
+        row1 = m21r * m21r + m22r * m22r + m22i * m22i
+        use0 = row0 >= row1
+        # null of row0: [-m12, m11]; null of row1: [m22, -m21]
+        w0r = jnp.where(use0, -m12r, m22r)
+        w0i = jnp.where(use0, -m12i, m22i)
+        w1r = jnp.where(use0, m11r, -m21r)
+        w1i = jnp.where(use0, m11i, -m21i)
+        xr = xr.at[p].set(jnp.where(pair, w0r, 1.0))
+        xi = xi.at[p].set(jnp.where(pair, w0i, 0.0))
+        xr = xr.at[k1p].add(jnp.where(pair, w1r, 0.0))
+        xi = xi.at[k1p].add(jnp.where(pair, w1i, 0.0))
+
+        def mrow(k):
+            return (b * S[k] - lr * T[k], -li * T[k])
+
+        def step(t, carry):
+            xr, xi = carry
+            k = n - 2 - t
+            in_range = (k >= 0) & (k < p)
+            is_second = jnp.where(k >= 1, sub[jnp.maximum(k - 1, 0)] != 0, False)
+            top2 = sub[jnp.maximum(k, 0)] != 0
+            do_1 = in_range & ~is_second & ~top2
+            do_2 = in_range & ~is_second & top2
+
+            mkr, mki = mrow(k)
+            mask_k = (rows > k).astype(dtype)
+            rhs_r = -(jnp.dot(mkr * mask_k, xr) - jnp.dot(mki * mask_k, xi))
+            rhs_i = -(jnp.dot(mkr * mask_k, xi) + jnp.dot(mki * mask_k, xr))
+
+            # 1x1
+            d_r = b * S[k, k] - lr * T[k, k]
+            d_i = -li * T[k, k]
+            vr, vi = _cdiv(rhs_r, rhs_i, d_r, d_i, smlnum)
+            xr = jnp.where(do_1, xr.at[k].set(vr), xr)
+            xi = jnp.where(do_1, xi.at[k].set(vi), xi)
+
+            # 2x2 block rows (k, k+1)
+            k1 = jnp.minimum(k + 1, n - 1)
+            mk1r, mk1i = mrow(k1)
+            mask_k1 = (rows > k1).astype(dtype)
+            rhs2_r = -(jnp.dot(mk1r * mask_k1, xr) - jnp.dot(mk1i * mask_k1, xi))
+            rhs2_i = -(jnp.dot(mk1r * mask_k1, xi) + jnp.dot(mk1i * mask_k1, xr))
+            a11r, a11i = b * S[k, k] - lr * T[k, k], -li * T[k, k]
+            a12r, a12i = b * S[k, k1] - lr * T[k, k1], -li * T[k, k1]
+            a21r, a21i = b * S[k1, k] - lr * T[k1, k], -li * T[k1, k]
+            a22r, a22i = b * S[k1, k1] - lr * T[k1, k1], -li * T[k1, k1]
+            detr = a11r * a22r - a11i * a22i - (a12r * a21r - a12i * a21i)
+            deti = a11r * a22i + a11i * a22r - (a12r * a21i + a12i * a21r)
+            n1r = a22r * rhs_r - a22i * rhs_i - (a12r * rhs2_r - a12i * rhs2_i)
+            n1i = a22r * rhs_i + a22i * rhs_r - (a12r * rhs2_i + a12i * rhs2_r)
+            n2r = a11r * rhs2_r - a11i * rhs2_i - (a21r * rhs_r - a21i * rhs_i)
+            n2i = a11r * rhs2_i + a11i * rhs2_r - (a21r * rhs_i + a21i * rhs_r)
+            w1r, w1i = _cdiv(n1r, n1i, detr, deti, smlnum)
+            w2r, w2i = _cdiv(n2r, n2i, detr, deti, smlnum)
+            xr = jnp.where(do_2, xr.at[k].set(w1r).at[k1].set(w2r), xr)
+            xi = jnp.where(do_2, xi.at[k].set(w1i).at[k1].set(w2i), xi)
+
+            mx = jnp.maximum(jnp.max(jnp.abs(xr)), jnp.max(jnp.abs(xi)))
+            fac = jnp.where(mx > 1e250, 1e-250, 1.0)
+            return xr * fac, xi * fac
+
+        xr, xi = lax.fori_loop(0, n - 1, step, (xr, xi))
+        nrm = jnp.sqrt(jnp.sum(xr * xr) + jnp.sum(xi * xi))
+        nrm = jnp.where(nrm == 0, 1.0, nrm)
+        return xr / nrm, xi / nrm
+
+    xr, xi = jax.vmap(one)(ar, ai, bt, pos, is_pair)
+    xr = jnp.where(valid[:, None], xr, 0.0)
+    xi = jnp.where(valid[:, None], xi, 0.0)
+    return xr, xi
+
+
+def eigenvectors_schur_gep(S, T, Q, Z, select,
+                           conf: Optional[EigenvectorsConf] = None):
+    """Right eigenvectors of the pencil (A, B) = (Q S Z^T, Q T Z^T).
+
+    Mirrors ``starneig_GEP_SM_Eigenvectors`` (reference: gep_sm.h:400-629).
+    Infinite eigenvalues (zero T diagonal) are supported: the vector solves
+    T x = 0 on the leading block.
+
+    Returns (X, info), LAPACK-style real storage.
+    """
+    S = jnp.asarray(S)
+    T = jnp.asarray(T)
+    Z = jnp.asarray(Z)
+    n = S.shape[0]
+    select = np.asarray(select, bool)
+    sub = np.concatenate([np.asarray(jnp.diagonal(S, offset=-1)), [0.0]])
+    ds = np.asarray(jnp.diagonal(S))
+    dt = np.asarray(jnp.diagonal(T))
+    sup_s = np.concatenate([np.asarray(jnp.diagonal(S, offset=1)), [0.0]])
+    sup_t = np.concatenate([np.asarray(jnp.diagonal(T, offset=1)), [0.0]])
+
+    entries = []  # (pos, is_pair, alpha_r, alpha_i, beta)
+    i = 0
+    while i < n:
+        if sub[i] != 0:
+            if select[i] or select[i + 1]:
+                # complex pair of the 2x2 pencil block
+                t11, t22 = dt[i], dt[i + 1]
+                det_t = t11 * t22
+                m11 = ds[i] * t22
+                m12 = -ds[i] * sup_t[i] + sup_s[i] * t11
+                m21 = sub[i] * t22
+                m22 = -sub[i] * sup_t[i] + ds[i + 1] * t11
+                tr = 0.5 * (m11 + m22)
+                disc = 0.25 * (m11 - m22) ** 2 + m12 * m21
+                im = np.sqrt(max(-disc, 0.0))
+                # pick the sign so lambda = alpha/beta has POSITIVE imaginary
+                # part (the Re/Im column-pair convention)
+                im_s = im if det_t >= 0 else -im
+                entries.append((i, True, tr, im_s, det_t))
+            i += 2
+        else:
+            if select[i]:
+                entries.append((i, False, ds[i], 0.0, dt[i]))
+            i += 1
+
+    ncols = sum(2 if e[1] else 1 for e in entries)
+    if ncols == 0:
+        return jnp.zeros((n, 0), S.dtype), Error.SUCCESS
+
+    m = len(entries)
+    mp = max(8, int(np.ceil(m / 8.0)) * 8)
+    pos = np.zeros(mp, np.int32)
+    is_pair = np.zeros(mp, bool)
+    ar = np.zeros(mp)
+    ai = np.zeros(mp)
+    bt = np.ones(mp)
+    valid = np.zeros(mp, bool)
+    for j, (p, pr, lr, li, b) in enumerate(entries):
+        # normalize (alpha, beta) so max magnitude ~ 1 (robustness)
+        scale = max(abs(lr) + abs(li), abs(b), 1e-300)
+        pos[j], is_pair[j], valid[j] = p, pr, True
+        ar[j], ai[j], bt[j] = lr / scale, li / scale, b / scale
+
+    xr, xi = _backsolve_all_gep(S, T, jnp.asarray(ar), jnp.asarray(ai),
+                                jnp.asarray(bt), jnp.asarray(pos),
+                                jnp.asarray(is_pair), jnp.asarray(valid))
+    xr = np.asarray(xr)
+    xi = np.asarray(xi)
+
+    Y = np.zeros((n, ncols))
+    c = 0
+    for j, (p, pr, *_rest) in enumerate(entries):
+        if pr:
+            Y[:, c] = xr[j]
+            Y[:, c + 1] = xi[j]
+            c += 2
+        else:
+            Y[:, c] = xr[j]
+            c += 1
+    X = _backtransform(Z, jnp.asarray(Y))
+    return X, Error.SUCCESS

@@ -98,11 +98,14 @@ def hessenberg(A, Q=None, conf: Optional[HessenbergConf] = None):
     ``Q`` may hold an initial orthogonal matrix to accumulate onto.
     """
     A = jnp.asarray(A)
+    # the update steps donate their inputs (in-place on device); copy so the
+    # caller's arrays survive (TPU backends enforce donation)
+    A = A + jnp.zeros((), A.dtype)
     n = A.shape[0]
     if Q is None:
         Q = jnp.eye(n, dtype=A.dtype)
     else:
-        Q = jnp.asarray(Q)
+        Q = jnp.asarray(Q) + jnp.zeros((), A.dtype)
     if n <= 2:
         return A, Q
     conf = (conf or HessenbergConf()).resolve(n)

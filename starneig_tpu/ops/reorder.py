@@ -207,8 +207,8 @@ def reorder_schur(S, Q, select, conf: Optional[ReorderConf] = None):
       (S, Q, num_selected, info): updated Schur form and Q; rows in the final
       leading block; info == Error.SUCCESS or Error.PARTIAL_REORDERING.
     """
-    S = jnp.asarray(S)
-    Q = jnp.asarray(Q)
+    S = jnp.asarray(S) + 0.0   # _apply_window donates: keep caller's arrays
+    Q = jnp.asarray(Q) + 0.0
     n = S.shape[0]
 
     def get_subdiag():
@@ -255,3 +255,178 @@ def reorder_schur(S, Q, select, conf: Optional[ReorderConf] = None):
     m = _prefix_len(get_subdiag(), sel)
     info = Error.PARTIAL_REORDERING if total_fail else Error.SUCCESS
     return S, Q, m, info
+
+
+# ===========================================================================
+# generalized (pencil) variant — mirrors the SEP machinery with left/right
+# transforms and dtgex2-style swaps (reference: GEP reorder, reorder/lapack.c:114)
+# ===========================================================================
+
+from starneig_tpu.ops.swaps_gep import swap_adjacent_gep  # noqa: E402
+
+
+def _gep_bubble_cond(state):
+    Qp = state[2]
+    W = Qp.shape[0]
+    done = state[9]
+    steps = state[8]
+    return (~done) & (steps < 4 * W * W)
+
+
+def _gep_bubble_scan(state):
+    Sp, Tp, Qp, Zp, sel, dst, src, nfail, steps, done, dst_limit, wlim = state
+    W = Qp.shape[0]
+    idx = jnp.arange(W, dtype=jnp.int32)
+    bs = _bs_mask(Sp, W)
+    cand = bs & sel[:W] & (idx >= dst) & (idx < wlim)
+    s = jnp.min(jnp.where(cand, idx, W))
+    new_done = (s >= W) | (dst >= dst_limit)
+    at_dst = (s == dst) & ~new_done
+    sz = _bsize(Sp, W, jnp.minimum(s, W - 1))
+    dst = jnp.where(at_dst, dst + sz, dst)
+    src = jnp.where(new_done | at_dst, -1, s)
+    return (Sp, Tp, Qp, Zp, sel, dst, src, nfail, steps + 1, new_done,
+            dst_limit, wlim)
+
+
+def _gep_bubble_swap(state):
+    Sp, Tp, Qp, Zp, sel, dst, src, nfail, steps, done, dst_limit, wlim = state
+    W = Qp.shape[0]
+    WP = W + 4
+    bs = _bs_mask(Sp, W)
+    a = jnp.where((src >= 2) & ~bs[jnp.maximum(src - 1, 0)], src - 2, src - 1)
+    p = src - a
+    q = _bsize(Sp, W, src)
+    A4 = lax.dynamic_slice(Sp, (a, a), (4, 4))
+    B4 = lax.dynamic_slice(Tp, (a, a), (4, 4))
+    Qs, Zs, Ah, Bh, accept = swap_adjacent_gep(A4, B4, p, q)
+    rows = lax.dynamic_slice(Sp, (a, a * 0), (4, WP))
+    Sp = lax.dynamic_update_slice(Sp, Qs.T @ rows, (a, a * 0))
+    rows = lax.dynamic_slice(Tp, (a, a * 0), (4, WP))
+    Tp = lax.dynamic_update_slice(Tp, Qs.T @ rows, (a, a * 0))
+    cols = lax.dynamic_slice(Sp, (a * 0, a), (WP, 4))
+    Sp = lax.dynamic_update_slice(Sp, cols @ Zs, (a * 0, a))
+    cols = lax.dynamic_slice(Tp, (a * 0, a), (WP, 4))
+    Tp = lax.dynamic_update_slice(Tp, cols @ Zs, (a * 0, a))
+    Sp = lax.dynamic_update_slice(Sp, Ah, (a, a))
+    Tp = lax.dynamic_update_slice(Tp, Bh, (a, a))
+    qc = lax.dynamic_slice(Qp, (a * 0, a), (W, 4))
+    Qp = lax.dynamic_update_slice(Qp, qc @ Qs, (a * 0, a))
+    zc = lax.dynamic_slice(Zp, (a * 0, a), (W, 4))
+    Zp = lax.dynamic_update_slice(Zp, zc @ Zs, (a * 0, a))
+    old4 = lax.dynamic_slice(sel, (a,), (4,))
+    i4 = jnp.arange(4)
+    moved = jnp.where(i4 < q, True, jnp.where(i4 < p + q, False, old4))
+    stuck = jnp.where((i4 >= p) & (i4 < p + q), False, old4)
+    new4 = jnp.where(accept, moved, stuck)
+    sel = lax.dynamic_update_slice(sel, new4, (a,))
+    new_src = jnp.where(accept, a, -1)
+    arrived = accept & (new_src == dst)
+    dst = jnp.where(arrived, dst + q, dst)
+    new_src = jnp.where(arrived, -1, new_src)
+    nfail = nfail + jnp.where(accept, 0, 1)
+    return (Sp, Tp, Qp, Zp, sel, dst, new_src, nfail, steps + 1, done,
+            dst_limit, wlim)
+
+
+def _gep_bubble_body(state):
+    return lax.cond(state[6] < 0, _gep_bubble_scan, _gep_bubble_swap, state)
+
+
+_run_gep_bubble = make_bounded_while(_gep_bubble_cond, _gep_bubble_body, chunk=64)
+
+
+def _window_bubble_gep(Sw, Tw, sel, dst0, dst_limit, wlim):
+    """Pencil version of _window_bubble; returns (Sw, Tw, Qw, Zw, sel, dst, nfail)."""
+    W = Sw.shape[0]
+    WP = W + 4
+    dtype = Sw.dtype
+    Sp = jnp.zeros((WP, WP), dtype).at[:W, :W].set(Sw)
+    Tp = jnp.zeros((WP, WP), dtype).at[:W, :W].set(Tw)
+    Qp = jnp.zeros((W, WP), dtype).at[:, :W].set(jnp.eye(W, dtype=dtype))
+    Zp = jnp.zeros((W, WP), dtype).at[:, :W].set(jnp.eye(W, dtype=dtype))
+    sel = jnp.concatenate([sel, jnp.zeros((4,), bool)])
+    init = (Sp, Tp, Qp, Zp, sel, jnp.int32(dst0), jnp.int32(-1), jnp.int32(0),
+            jnp.int32(0), jnp.bool_(False), jnp.int32(dst_limit),
+            jnp.int32(wlim))
+    Sp, Tp, Qp, Zp, sel, dst, src, nfail, *_ = _run_gep_bubble(init)
+    return (Sp[:W, :W], Tp[:W, :W], Qp[:, :W], Zp[:, :W], sel[:W], dst, nfail)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _apply_window_gep(S, T, Q, Z, Sw, Tw, Qw, Zw, ws):
+    """S <- diag(I,Qw,I)^T S diag(I,Zw,I) etc.; Q <- Q Qw, Z <- Z Zw."""
+    n = S.shape[0]
+    W = Sw.shape[0]
+    rows = lax.dynamic_slice(S, (ws, 0), (W, n))
+    S = lax.dynamic_update_slice(S, Qw.T @ rows, (ws, 0))
+    rows = lax.dynamic_slice(T, (ws, 0), (W, n))
+    T = lax.dynamic_update_slice(T, Qw.T @ rows, (ws, 0))
+    cols = lax.dynamic_slice(S, (0, ws), (n, W))
+    S = lax.dynamic_update_slice(S, cols @ Zw, (0, ws))
+    cols = lax.dynamic_slice(T, (0, ws), (n, W))
+    T = lax.dynamic_update_slice(T, cols @ Zw, (0, ws))
+    S = lax.dynamic_update_slice(S, Sw, (ws, ws))
+    T = lax.dynamic_update_slice(T, Tw, (ws, ws))
+    qc = lax.dynamic_slice(Q, (0, ws), (n, W))
+    Q = lax.dynamic_update_slice(Q, qc @ Qw, (0, ws))
+    zc = lax.dynamic_slice(Z, (0, ws), (n, W))
+    Z = lax.dynamic_update_slice(Z, zc @ Zw, (0, ws))
+    return S, T, Q, Z
+
+
+def reorder_schur_gep(S, T, Q, Z, select, conf: Optional[ReorderConf] = None):
+    """Reorder a generalized real Schur form so selected eigenvalues lead.
+
+    Mirrors ``starneig_GEP_SM_ReorderSchur`` (reference: gep_sm.h:162-235).
+
+    Returns (S, T, Q, Z, num_selected, info).
+    """
+    S = jnp.asarray(S) + 0.0
+    T = jnp.asarray(T) + 0.0
+    Q = jnp.asarray(Q) + 0.0
+    Z = jnp.asarray(Z) + 0.0
+    n = S.shape[0]
+
+    subdiag = np.concatenate([np.asarray(jnp.diagonal(S, offset=-1)), [0.0]])
+    sel = _align_select(subdiag, np.asarray(select, bool).copy())
+
+    if conf is None:
+        conf = ReorderConf()
+    ratio = float(sel.sum()) / max(n, 1)
+    rconf = conf.resolve(n, workers=1, select_ratio=ratio)
+    W = min(rconf.window_size, n)
+    cap = W if W >= n else max(2, W // 2)
+    total_fail = 0
+
+    while True:
+        m = _prefix_len(subdiag, sel)
+        below = np.nonzero(sel[m:n])[0]
+        if below.size == 0:
+            break
+        lowest = m + int(below[-1])
+        bsz = 2 if subdiag[lowest] != 0 else 1
+        if lowest > 0 and subdiag[lowest - 1] != 0:
+            lowest, bsz = lowest - 1, 2
+        ws = min(max(m, lowest + bsz - W), n - W)
+        while True:
+            wlo = 1 if (ws > 0 and subdiag[ws - 1] != 0) else 0
+            wlim = W - 1 if (ws + W < n and subdiag[ws + W - 1] != 0) else W
+            Sw = lax.dynamic_slice(S, (ws, ws), (W, W))
+            Tw = lax.dynamic_slice(T, (ws, ws), (W, W))
+            sel_w = jnp.asarray(sel[ws:ws + W])
+            Sw2, Tw2, Qw, Zw, sel_w2, dst, nfail = _window_bubble_gep(
+                Sw, Tw, sel_w, wlo, min(wlo + cap, W), wlim)
+            total_fail += int(nfail)
+            S, T, Q, Z = _apply_window_gep(S, T, Q, Z, Sw2, Tw2, Qw, Zw, ws)
+            sel[ws:ws + W] = np.asarray(sel_w2)
+            subdiag[ws:ws + W - 1] = np.asarray(jnp.diagonal(Sw2, offset=-1))
+            if ws <= m:
+                break
+            carried = int(dst) - wlo
+            ws = max(m, ws + wlo + carried - W)
+
+    m = _prefix_len(
+        np.concatenate([np.asarray(jnp.diagonal(S, offset=-1)), [0.0]]), sel)
+    info = Error.PARTIAL_REORDERING if total_fail else Error.SUCCESS
+    return S, T, Q, Z, m, info
