@@ -39,6 +39,19 @@ def _wrap(out, mesh, spec):
                        mesh=mesh, spec=spec)
 
 
+def _wrap_flex(out, mesh):
+    """Wrap with the finest sharding the shape allows (cols, rows, replicated)."""
+    nd = len(mesh.devices.ravel())
+    ax = mesh.axis_names[0]
+    if out.ndim == 2 and out.shape[1] % nd == 0:
+        spec = P(None, ax)
+    elif out.ndim == 2 and out.shape[0] % nd == 0:
+        spec = P(ax, None)
+    else:
+        spec = P()
+    return _wrap(out, mesh, spec)
+
+
 def hessenberg(A, Q=None, mesh=None, conf=None):
     """Distributed Hessenberg reduction (sep_dm.h:86-130)."""
     Ad = _as_distr(A, mesh)
@@ -69,7 +82,7 @@ def eigenvectors(S, Q, select, mesh=None, conf=None):
     Sd = _as_distr(S, mesh)
     Qd = _as_distr(Q, Sd.mesh)
     X, info = _sep.eigenvectors(Sd.data, Qd.data, select, conf=conf)
-    return _wrap(jnp.asarray(X), Sd.mesh, Sd.spec), info
+    return _wrap_flex(jnp.asarray(X), Sd.mesh), info
 
 
 def select(S, predicate: Callable[[complex], bool]):
