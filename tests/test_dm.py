@@ -54,3 +54,19 @@ def test_gep_dm_chain():
     ra, rb = residual_gep(A, B, Sd.to_array(), Td.to_array(),
                           Qd.to_array(), Zd.to_array())
     assert ra < 5000 and rb < 5000
+
+
+def test_block_cyclic_roundtrip():
+    from starneig_tpu.parallel.block_cyclic import BlockCyclicDescr, scatter, gather
+    A = random_dense(37, seed=9)[:37, :29]
+    d = BlockCyclicDescr(m=37, n=29, mb=8, nb=8, prows=2, pcols=3)
+    locs = scatter(A, d)
+    assert len(locs) == 6
+    np.testing.assert_allclose(gather(locs, d), A)
+
+
+def test_cli_smoke():
+    from starneig_tpu import cli
+    res = cli.main(["--experiment", "schur", "--n", "48", "--platform", "cpu",
+                    "--hooks", "residual,structure", "--json", "--keep-going"])
+    assert res["ok"]
