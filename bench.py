@@ -61,6 +61,9 @@ def main():
     res = float(np.linalg.norm(Q_np @ S_np @ Q_np.T - A_np) /
                 max(np.linalg.norm(A_np), 1e-300) / u)
 
+    from starneig_tpu.node import verify_backend
+    backend_defect = verify_backend()
+
     baseline_ms = 22600.0 * (n / 4000.0) ** 3  # cubic scaling from n=4000
     out = {
         "metric": f"sep_hessenberg+schur_n{n}_wallclock",
@@ -74,6 +77,7 @@ def main():
             "info": int(info),
             "n": n,
             "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+            "backend_orth_defect": backend_defect,
         },
     }
     print(json.dumps(out))

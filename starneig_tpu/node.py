@@ -124,3 +124,23 @@ def enable_compilation_cache(path: str = "/root/repo/.jax_cache") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - config knobs vary by jax version
         log.debug("persistent compilation cache unavailable")
+
+
+def verify_backend(w: int = 64) -> float:
+    """Known-answer backend self-test; returns the orthogonality defect.
+
+    Runs the Francis QR solver on a fixed matrix and measures ||ZZ^T - I||.
+    A healthy f64 backend gives ~1e-13.  The tunneled TPU backend currently
+    exhibits a compilation-dependent defect (~2e-7, i.e. f32-level noise in
+    some fused loop contexts) — callers can use this probe to detect it and
+    report results accordingly.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from starneig_tpu.ops.small_schur import small_schur
+
+    rng = np.random.default_rng(0)
+    H = np.triu(rng.standard_normal((w, w)), -1)
+    S, Z, info = small_schur(jnp.asarray(H), jnp.eye(w), w)
+    Z = np.asarray(Z)
+    return float(np.linalg.norm(Z @ Z.T - np.eye(w)))

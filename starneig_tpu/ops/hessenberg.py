@@ -32,7 +32,7 @@ from starneig_tpu.ops import primitives as prim
 
 
 @functools.partial(jax.jit, static_argnames=("nb",))
-def _panel(A, k, nb: int):
+def _panel(A, k, nb: int, end=None):
     """Factorize panel columns k..k+nb-1.
 
     Returns (V, T, Y, P): reflectors (n, nb) with v_j supported on rows
@@ -54,7 +54,8 @@ def _panel(A, k, nb: int):
         mr = jnp.roll(rows >= shift, -shift)
         vr, tau, beta = prim.householder(ar, mr)
         v = jnp.roll(vr, shift)
-        active = c < n - 1
+        lim = (n if end is None else end)
+        active = (c < lim - 1) & (c < n - 1)
         v = jnp.where(active & (rows >= shift), v, 0.0)
         tau = jnp.where(active, tau, 0.0)
         pcol = jnp.where(rows <= c, a, 0.0)
@@ -91,10 +92,15 @@ def _apply_panel(A, Q, V, T, Y, P, k):
     return A, Q
 
 
-def hessenberg(A, Q=None, conf: Optional[HessenbergConf] = None):
+def hessenberg(A, Q=None, conf: Optional[HessenbergConf] = None,
+               begin: int = 0, end: Optional[int] = None):
     """Reduce A to upper Hessenberg form: returns (H, Q) with H = Q^T A Q.
 
-    Mirrors ``starneig_SEP_SM_Hessenberg`` (reference: sep_sm.h:89-118).
+    Mirrors ``starneig_SEP_SM_Hessenberg`` (reference: sep_sm.h:89-118),
+    including the partial reduction range [begin, end): only those columns
+    are reduced (the reference's partial-hessenberg capability,
+    test/misc/partial_hessenberg.c), assuming A[begin:, :begin] is already
+    zero below the subdiagonal as in LAPACK's ilo/ihi convention.
     ``Q`` may hold an initial orthogonal matrix to accumulate onto.
     """
     A = jnp.asarray(A)
@@ -102,17 +108,19 @@ def hessenberg(A, Q=None, conf: Optional[HessenbergConf] = None):
     # caller's arrays survive (TPU backends enforce donation)
     A = A + jnp.zeros((), A.dtype)
     n = A.shape[0]
+    if end is None:
+        end = n
     if Q is None:
         Q = jnp.eye(n, dtype=A.dtype)
     else:
         Q = jnp.asarray(Q) + jnp.zeros((), A.dtype)
-    if n <= 2:
+    if n <= 2 or end - begin <= 2:
         return A, Q
-    conf = (conf or HessenbergConf()).resolve(n)
+    conf = (conf or HessenbergConf()).resolve(end - begin)
     nb = min(conf.panel_width, max(8, n - 2), n)
-    for k in range(0, n - 2, nb):
-        k_eff = min(k, n - nb)  # keep the static-size panel inside the matrix;
-        # re-processing already-reduced columns is an exact no-op (tau == 0)
-        V, T, Y, P = _panel(A, k_eff, nb)
+    for k in range(begin, end - 2, nb):
+        k_eff = max(0, min(k, n - nb))  # keep the static panel inside the
+        # matrix; re-processing already-reduced columns is an exact no-op
+        V, T, Y, P = _panel(A, k_eff, nb, jnp.int32(end))
         A, Q = _apply_panel(A, Q, V, T, Y, P, k_eff)
     return A, Q

@@ -56,7 +56,10 @@ def householder(x, mask=None):
         x = jnp.where(mask, x, 0)
     alpha = x[0]
     tail = x.at[0].set(0)
-    xnorm = jnp.linalg.norm(tail)
+    # explicit sqrt-of-sum (NOT jnp.linalg.norm): some TPU fusion contexts
+    # lower norm through an approximate-rsqrt path, which silently destroys
+    # reflector orthogonality at the 1e-8 level
+    xnorm = jnp.sqrt(jnp.sum(tail * tail))
     beta = -_sign(alpha) * hypot2(alpha, xnorm)
     degenerate = xnorm == 0
     tau = jnp.where(degenerate, 0.0, _safe_div(beta - alpha, beta))
