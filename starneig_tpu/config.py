@@ -82,7 +82,10 @@ class SchurConf:
             # reference: process_args.c:50-114 (0.02*n rounded to 8, floor 32)
             c.tile_size = max(32, _round8(0.02 * n))
         if c.small_limit == AUTO:
-            c.small_limit = max(300, 2 * c.tile_size)  # process_args.c:285-287
+            # reference: max(300, 2*tile) (process_args.c:285-287) — tuned for
+            # LAPACK dhseqr small solves; our jitted Francis solver favors a
+            # lower crossover so AED + multishift trains handle more range
+            c.small_limit = max(64, 2 * c.tile_size)
         if c.aed_window_size == AUTO:
             c.aed_window_size = _aed_staircase(n, 0.08, divide=0.7)
         if c.aed_shift_count == AUTO:

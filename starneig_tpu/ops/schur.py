@@ -386,16 +386,19 @@ def _sweep_chunk(Spad, Qpad, l, ihi, s0, sr1, si1, sr2, si2, B: int):
         # bulge's right update legitimately modifies these entries afterwards
         # (left/right multiplications commute, so all-left -> plant ->
         # all-right reproduces the sequential per-bulge order exactly).
+        # The touched entries all live in the (3B, 3B+1) block at
+        # (lo, lo-1) — scatter on that small block, not the full matrix
+        # (full-matrix scatters copy the whole buffer per step).
         fix = active & ~intro
-        colidx = jnp.maximum(k - 1, 0)
-        k1 = jnp.minimum(k + 1, NP - 1)
-        k2 = jnp.minimum(k + 2, NP - 1)
-        Spad = Spad.at[k, colidx].set(
-            jnp.where(fix, beta, Spad[k, colidx]))
-        Spad = Spad.at[k1, colidx].set(
-            jnp.where(fix, 0.0, Spad[k1, colidx]))
-        Spad = Spad.at[k2, colidx].set(
-            jnp.where(fix & use3, 0.0, Spad[k2, colidx]))
+        F = lax.dynamic_slice(Spad, (lo, lo - 1), (3 * B, 3 * B + 1))
+        rrel = k - lo                      # (B,) rows of the bulge tips
+        crel = k - lo                      # col (k-1) - (lo-1) == k - lo
+        r1 = jnp.minimum(rrel + 1, 3 * B - 1)
+        r2 = jnp.minimum(rrel + 2, 3 * B - 1)
+        F = F.at[rrel, crel].set(jnp.where(fix, beta, F[rrel, crel]))
+        F = F.at[r1, crel].set(jnp.where(fix, 0.0, F[r1, crel]))
+        F = F.at[r2, crel].set(jnp.where(fix & use3, 0.0, F[r2, crel]))
+        Spad = lax.dynamic_update_slice(Spad, F, (lo, lo - 1))
 
         C = lax.dynamic_slice(Spad, (lo * 0, lo), (NP, 3 * B)).reshape(NP, B, 3)
         wc = jnp.einsum("nbi,bi->nb", C, vs)
@@ -435,12 +438,30 @@ def _pair_shifts(er: np.ndarray, ei: np.ndarray, ns: int):
     return pairs
 
 
-def schur(H, Q=None, conf: Optional[SchurConf] = None):
+RECURSE_MIN = 160   # windows above this solve via a recursive schur() call
+MAX_DEPTH = 3       # recursion guard (reference: perform_large_aed recursion)
+
+
+def _solve_window(win, m, thresh, eye, depth, conf_seed):
+    """Schur-reduce a masked window: recursive AED for large windows
+    (reference: perform_large_aed, schur/core.c:1423-1551), Francis QR for
+    small ones.  Returns (Tw, Vw, info_int)."""
+    W = win.shape[0]
+    if m > RECURSE_MIN and depth < MAX_DEPTH:
+        S, V, _er, _ei, info = schur(win, eye, conf=conf_seed, _depth=depth + 1)
+        return S, V, (0 if info == Error.SUCCESS else 1)
+    Tw, Vw, sinfo = small_schur(win, eye, m, thresh)
+    return Tw, Vw, int(sinfo)
+
+
+def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     """Reduce an upper Hessenberg H to real Schur form S = Qs^T H Qs.
 
     Mirrors ``starneig_SEP_SM_Schur`` (reference: sep_sm.h:159-227): Q (if
     given) is accumulated on the right, eigenvalues are extracted from the
-    final Schur form.
+    final Schur form.  Large AED windows recurse into the full driver with
+    their own (smaller) auto-tuned configuration — the reference's
+    parallel-AED recursion (core.c:1423).
 
     Returns:
       (S, Q, eig_real, eig_imag, info) with info == Error.SUCCESS or
@@ -510,7 +531,7 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None):
 
         if seg <= SMALL_W:
             win = _masked_window(Spad, l, seg, P, SMALL_W)
-            Tw, Vw, sinfo = small_schur(win, eyeSW, seg, thresh)
+            Tw, Vw, sinfo = _solve_window(win, seg, thresh, eyeSW, _depth, None)
             Spad, Qpad = _apply_window_transform(
                 Spad, Qpad, Vw, Tw, seg, l, False, jnp.zeros((), dtype),
                 P=P, W=SMALL_W)
@@ -525,7 +546,7 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None):
         kwtop = ihi - w
         win = _masked_window(Spad, kwtop, w, P, WA)
         s_spike = Spad[P + kwtop, P + kwtop - 1]
-        Tw, Vw, sinfo = small_schur(win, eyeWA, w, thresh)
+        Tw, Vw, sinfo = _solve_window(win, w, thresh, eyeWA, _depth, None)
         Tw, Vw, kbot, dfail = _aed_deflate(Tw, Vw, s_spike, w, thresh)
         kbot_i = int(kbot)
         nd = w - kbot_i
