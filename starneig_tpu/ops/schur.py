@@ -416,6 +416,131 @@ def _sweep_chunk(Spad, Qpad, l, ihi, s0, sr1, si1, sr2, si2, B: int):
 
 
 # ---------------------------------------------------------------------------
+# windowed multishift sweep: the train chases inside a small window with an
+# accumulated local Qw; off-window rows/columns update per hop as GEMMs
+# (reference: pipelined bulge windows + off-window GEMM tasks,
+# schur/core.c:563-782 + insert_updates core.c:129 — here one jitted hop
+# kernel + three GEMMs per hop, dispatched asynchronously)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("B", "WC", "HOP"))
+def _train_hop(Wnd, Qw, sr1, si1, sr2, si2, l_rel, ihi_rel, s0,
+               B: int, WC: int, HOP: int):
+    """Advance the B-bulge train HOP rows inside the (WC+pad) window.
+
+    Window coordinates: global row g maps to g - ws.  Bulge i performs its
+    column-k action at k = l_rel + s - 3*i for step s in [s0, s0 + HOP);
+    the train block rows [lo, lo + 3B) stay inside the window by
+    construction (the caller slides ws so that lo >= 1 per hop).  All
+    reflector applications stay within the window, accumulating into Qw.
+    """
+    WP = Wnd.shape[0]
+    bidx = jnp.arange(B)
+
+    def step(t, carry):
+        Wnd, Qw = carry
+        s = s0 + t
+        k = (l_rel + s - 3 * bidx).astype(jnp.int32)
+        active = (k >= l_rel) & (k <= ihi_rel - 2)
+        kc = jnp.where(active, k, jnp.int32(1))
+        intro = active & (k == l_rel)
+        use3 = k <= ihi_rel - 3
+
+        def gather_col(ki):
+            return lax.dynamic_slice(
+                Wnd, (ki, jnp.maximum(ki - 1, 0)), (3, 1))[:, 0]
+
+        cols3 = jax.vmap(gather_col)(kc)
+        lr = jnp.clip(l_rel, 0, WP - 3)
+        blk = lax.dynamic_slice(Wnd, (lr, lr), (3, 3))
+        intro_cols = jax.vmap(
+            lambda a, b, c, d, u: prim.first_column_shifted(blk, a, b, c, d, u)
+        )(sr1, si1, sr2, si2, use3)
+        x = jnp.where(intro[:, None], intro_cols, cols3)
+        mask = jnp.stack([jnp.ones_like(use3), jnp.ones_like(use3), use3],
+                         axis=1)
+        v, tau, beta = jax.vmap(prim.householder)(x, mask)
+        tau = jnp.where(active, tau, 0.0)
+
+        lo = (l_rel + s - 3 * (B - 1)).astype(jnp.int32)
+        vs = v[::-1]
+        taus = tau[::-1]
+        R = lax.dynamic_slice(Wnd, (lo, lo * 0), (3 * B, WP)).reshape(B, 3, WP)
+        w_ = jnp.einsum("bi,bin->bn", vs, R)
+        R = R - taus[:, None, None] * vs[:, :, None] * w_[:, None, :]
+        Wnd = lax.dynamic_update_slice(Wnd, R.reshape(3 * B, WP), (lo, lo * 0))
+
+        # exact bulge-column plant (between left and right updates)
+        fix = active & ~intro
+        F = lax.dynamic_slice(Wnd, (lo, lo - 1), (3 * B, 3 * B + 1))
+        rrel = kc - lo
+        r1 = jnp.minimum(rrel + 1, 3 * B - 1)
+        r2 = jnp.minimum(rrel + 2, 3 * B - 1)
+        F = F.at[rrel, rrel].set(jnp.where(fix, beta, F[rrel, rrel]))
+        F = F.at[r1, rrel].set(jnp.where(fix, 0.0, F[r1, rrel]))
+        F = F.at[r2, rrel].set(jnp.where(fix & use3, 0.0, F[r2, rrel]))
+        Wnd = lax.dynamic_update_slice(Wnd, F, (lo, lo - 1))
+
+        C = lax.dynamic_slice(Wnd, (lo * 0, lo), (WP, 3 * B)).reshape(WP, B, 3)
+        wc_ = jnp.einsum("nbi,bi->nb", C, vs)
+        C = C - taus[None, :, None] * wc_[:, :, None] * vs[None, :, :]
+        Wnd = lax.dynamic_update_slice(Wnd, C.reshape(WP, 3 * B), (lo * 0, lo))
+
+        nq = Qw.shape[0]
+        Zc = lax.dynamic_slice(Qw, (lo * 0, lo), (nq, 3 * B)).reshape(nq, B, 3)
+        wz = jnp.einsum("nbi,bi->nb", Zc, vs)
+        Zc = Zc - taus[None, :, None] * wz[:, :, None] * vs[None, :, :]
+        Qw = lax.dynamic_update_slice(Qw, Zc.reshape(nq, 3 * B), (lo * 0, lo))
+        return Wnd, Qw
+
+    Wnd, Qw = lax.fori_loop(0, HOP, step, (Wnd, Qw))
+    return Wnd, Qw
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("WC",))
+def _apply_hop(Spad, Qpad, Wout, Qw, ws, WC: int):
+    """Apply the hop's window transform to the full matrices.
+
+    Left rows over all columns, right columns over all rows, then the exact
+    window block (with its planted zeros) overwrites the overlap.
+    """
+    NP = Spad.shape[0]
+    nq = Qpad.shape[0]
+    rows = lax.dynamic_slice(Spad, (ws, ws * 0), (WC, NP))
+    Spad = lax.dynamic_update_slice(Spad, Qw.T @ rows, (ws, ws * 0))
+    cols = lax.dynamic_slice(Spad, (ws * 0, ws), (NP, WC))
+    Spad = lax.dynamic_update_slice(Spad, cols @ Qw, (ws * 0, ws))
+    Spad = lax.dynamic_update_slice(Spad, Wout, (ws, ws))
+    qc = lax.dynamic_slice(Qpad, (ws * 0, ws), (nq, WC))
+    Qpad = lax.dynamic_update_slice(Qpad, qc @ Qw, (ws * 0, ws))
+    return Spad, Qpad
+
+
+def _sweep_batch_windowed(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int,
+                          eyeWC):
+    """Chase one B-bulge train across [l, ihi) via windowed hops.
+
+    l/ihi are Python ints in padded coordinates; all hop kernels and GEMM
+    applications dispatch asynchronously (step counts known up front).
+    """
+    HOP = 3 * B
+    WC = eyeWC.shape[0]               # 6*B + 4
+    steps = (ihi - l) - 2 + 3 * (B - 1) + 1
+    s0 = 0
+    while s0 < steps:
+        hop = min(HOP, steps - s0)
+        # window start: one column left of the train block's lowest row
+        ws = l + s0 - 3 * (B - 1) - 1
+        Wnd = lax.dynamic_slice(Spad, (ws, ws), (WC, WC))
+        Wnd2, Qw = _train_hop(Wnd, eyeWC, sr1, si1, sr2, si2,
+                              jnp.int32(l - ws), jnp.int32(ihi - ws),
+                              jnp.int32(s0), B=B, WC=WC, HOP=HOP)
+        Spad, Qpad = _apply_hop(Spad, Qpad, Wnd2, Qw, ws, WC=WC)
+        s0 += hop
+    return Spad, Qpad
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
@@ -478,7 +603,8 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     B = min(12, max(1, n // 8))                 # bulges per train (2B shifts)
     SMALL_W = min(max(64, conf.small_limit), n)
     WA = min(max(32, conf.aed_window_size + 2), n)
-    P = max(3 * B + 4, SMALL_W, WA) + 2
+    WC = 6 * B + 4                              # train chase window
+    P = max(3 * B + 4, WC + 2, SMALL_W, WA) + 2
     NP = n + 2 * P
 
     Spad = jnp.zeros((NP, NP), dtype)
@@ -498,8 +624,21 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
         thresh = float(conf.left_threshold)
     thresh = max(thresh, tiny)
 
-    eyeWA = jnp.eye(WA, dtype=dtype)
-    eyeSW = jnp.eye(SMALL_W, dtype=dtype)
+    # size-bucketed window buffers: masked sweeps always run the full static
+    # buffer length, so a snug bucket halves the wasted steps on shrinking
+    # segments (each bucket compiles once, cached persistently)
+    maxW = max(SMALL_W, WA)
+    buckets = sorted({b for b in (64, 96, 160, 224, 288, 352, 416, 480)
+                      if b <= maxW} | {maxW, SMALL_W, WA})
+    eyes = {b: jnp.eye(b, dtype=dtype) for b in buckets}
+    eyeWC = jnp.eye(WC, dtype=dtype)
+
+    def bucket_of(m):
+        for b in buckets:
+            if b >= m:
+                return b
+        return buckets[-1]
+
     info = Error.SUCCESS
     ihi = n
     it_seg = 0
@@ -530,11 +669,12 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
         seg = ihi - l
 
         if seg <= SMALL_W:
-            win = _masked_window(Spad, l, seg, P, SMALL_W)
-            Tw, Vw, sinfo = _solve_window(win, seg, thresh, eyeSW, _depth, None)
+            Wb = bucket_of(seg)
+            win = _masked_window(Spad, l, seg, P, Wb)
+            Tw, Vw, sinfo = _solve_window(win, seg, thresh, eyes[Wb], _depth, None)
             Spad, Qpad = _apply_window_transform(
                 Spad, Qpad, Vw, Tw, seg, l, False, jnp.zeros((), dtype),
-                P=P, W=SMALL_W)
+                P=P, W=Wb)
             if int(sinfo) != 0:
                 info = Error.DID_NOT_CONVERGE
                 break
@@ -544,9 +684,10 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
         # ---- AED ----
         w = min(WA, conf.aed_window_size, seg - 1)
         kwtop = ihi - w
-        win = _masked_window(Spad, kwtop, w, P, WA)
+        Wb = bucket_of(w)
+        win = _masked_window(Spad, kwtop, w, P, Wb)
         s_spike = Spad[P + kwtop, P + kwtop - 1]
-        Tw, Vw, sinfo = _solve_window(win, w, thresh, eyeWA, _depth, None)
+        Tw, Vw, sinfo = _solve_window(win, w, thresh, eyes[Wb], _depth, None)
         Tw, Vw, kbot, dfail = _aed_deflate(Tw, Vw, s_spike, w, thresh)
         kbot_i = int(kbot)
         nd = w - kbot_i
@@ -559,7 +700,7 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
         else:
             beta = jnp.zeros((), dtype)
         Spad, Qpad = _apply_window_transform(
-            Spad, Qpad, Vw, Tw, w, kwtop, True, beta, P=P, W=WA)
+            Spad, Qpad, Vw, Tw, w, kwtop, True, beta, P=P, W=Wb)
         ihi -= nd
 
         if nd > 0 and 100 * nd >= conf.aed_nibble * w:
@@ -582,10 +723,11 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
                 # duplicate shifts are still valid shifts — a shorter train
                 # is emulated by replicating the last pair
                 arr[len(chunk):] = arr[len(chunk) - 1]
-            Spad, Qpad = _sweep_batch(
+            Spad, Qpad = _sweep_batch_windowed(
                 Spad, Qpad, P + l, P + ihi,
                 jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]),
-                jnp.asarray(arr[:, 2]), jnp.asarray(arr[:, 3]), B=B)
+                jnp.asarray(arr[:, 2]), jnp.asarray(arr[:, 3]), B=B,
+                eyeWC=eyeWC)
 
     S = lax.dynamic_slice(Spad, (P, P), (n, n))
     Qf = lax.dynamic_slice(Qpad, (0, P), (n, n))
