@@ -90,3 +90,18 @@ def test_schur_zero_eigenvalues():
     S, Q, er, ei, info = schur(jnp.array(A), conf=conf)
     assert info == Error.SUCCESS
     _check(A, S, Q)
+
+
+def test_schur_dense_gaussian_n400():
+    """Well-conditioned dense matrix through the full hessenberg+schur chain;
+    matched eigenvalues must satisfy the reference's accuracy gates."""
+    from starneig_tpu.ops.hessenberg import hessenberg
+    from starneig_tpu.testing import eigenvalue_error
+    n = 400
+    A = RNG.standard_normal((n, n))
+    H, Q = hessenberg(jnp.asarray(A))
+    S, Q2, er, ei, info = schur(H, Q)
+    assert info == Error.SUCCESS
+    _check(A, S, Q2)
+    ev = np.asarray(er) + 1j * np.asarray(ei)
+    assert eigenvalue_error(ev, np.linalg.eigvals(A)) < 10000
