@@ -7,11 +7,19 @@ to the top, and validate.
 Run:  python examples/sep_full_chain.py [n]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
 
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 jax.config.update("jax_enable_x64", True)
 
 from starneig_tpu.api import sep
