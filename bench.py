@@ -29,9 +29,9 @@ import jax.numpy as jnp
 
 
 def main():
-    # default n=2000 for round-1 TPU runs: compiles are cached at this size
+    # default n=1500 for round-1 TPU runs: compiles are cached at this size
     # and the vs_baseline comparison scales the reference cubically anyway
-    n = int(os.environ.get("BENCH_N", "2000"))
+    n = int(os.environ.get("BENCH_N", "1500"))
     dtype = jnp.float64 if os.environ.get("BENCH_DTYPE", "float64") == "float64" else jnp.float32
 
     from starneig_tpu.api import sep
