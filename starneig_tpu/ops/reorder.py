@@ -142,6 +142,41 @@ def _bubble_body(state):
 
 _run_bubble = make_bounded_while(_bubble_cond, _bubble_body, chunk=96)
 
+# batched (vmapped) variant: G independent windows advance in lockstep; a
+# finished lane's body application is a stable no-op, so lanes may finish at
+# different times (this is the TPU-native replacement for the reference's
+# pipelined multi-chain window parallelism, expert.h:527-565)
+_bubble_body_b = jax.vmap(_bubble_body)
+
+
+def _bubble_cond_b(state):
+    return jnp.any(jax.vmap(_bubble_cond)(state))
+
+
+_run_bubble_b = make_bounded_while(_bubble_cond_b, _bubble_body_b, chunk=96)
+
+
+def _window_bubble_batch(Tws, sels, dst0s, dst_limits, wlims):
+    """Batched _window_bubble over G stacked windows."""
+    G, W = Tws.shape[0], Tws.shape[1]
+    WP = W + 4
+    dtype = Tws.dtype
+    Tp = jnp.zeros((G, WP, WP), dtype).at[:, :W, :W].set(Tws)
+    Qp = jnp.zeros((G, W, WP), dtype).at[:, :, :W].set(
+        jnp.broadcast_to(jnp.eye(W, dtype=dtype), (G, W, W)))
+    sel = jnp.concatenate([sels, jnp.zeros((G, 4), bool)], axis=1)
+    zi = jnp.zeros((G,), jnp.int32)
+    init = (Tp, Qp, sel, dst0s.astype(jnp.int32), zi - 1, zi,
+            zi, jnp.zeros((G,), bool), dst_limits.astype(jnp.int32),
+            wlims.astype(jnp.int32))
+    Tp, Qp, sel, dst, src, nfail, steps, done, _dl, _wl = _run_bubble_b(init)
+    return Tp[:, :W, :W], Qp[:, :, :W], sel[:, :W], dst, nfail
+
+
+@functools.partial(jax.jit, static_argnames=("W",))
+def _gather_windows(S, ws, W: int):
+    return jax.vmap(lambda w0: lax.dynamic_slice(S, (w0, w0), (W, W)))(ws)
+
 
 # ---------------------------------------------------------------------------
 # off-window updates (the MXU work)
@@ -430,3 +465,90 @@ def reorder_schur_gep(S, T, Q, Z, select, conf: Optional[ReorderConf] = None):
         np.concatenate([np.asarray(jnp.diagonal(S, offset=-1)), [0.0]]), sel)
     info = Error.PARTIAL_REORDERING if total_fail else Error.SUCCESS
     return S, T, Q, Z, m, info
+
+
+def reorder_schur_parallel(S, Q, select, conf: Optional[ReorderConf] = None):
+    """Wave-parallel reordering: disjoint windows bubble simultaneously.
+
+    Each pass lays a grid of disjoint windows over [m, n) (alternating the
+    grid offset by W/2 between passes so values cross window boundaries),
+    runs the bubble kernel on all of them in one vmapped call, and applies
+    the per-window transforms as asynchronously dispatched GEMMs.  Selected
+    eigenvalues advance ~W/2 rows per pass — the latency is ~passes windows
+    instead of ~(chain length x chains).
+
+    Same contract as reorder_schur.
+    """
+    S = jnp.asarray(S) + 0.0
+    Q = jnp.asarray(Q) + 0.0
+    n = S.shape[0]
+
+    subdiag = np.concatenate([np.asarray(jnp.diagonal(S, offset=-1)), [0.0]])
+    sel = _align_select(subdiag, np.asarray(select, bool).copy())
+
+    if conf is None:
+        conf = ReorderConf()
+    ratio = float(sel.sum()) / max(n, 1)
+    rconf = conf.resolve(n, workers=1, select_ratio=ratio)
+    W = min(rconf.window_size, n)
+    if n < 2 * W:
+        return reorder_schur(S, Q, sel, conf)
+
+    total_fail = 0
+    offset_toggle = 0
+    guard = 0
+    while True:
+        m = _prefix_len(subdiag, sel)
+        if not sel[m:n].any():
+            break
+        guard += 1
+        if guard > 8 * (n // max(W // 2, 1) + 2):
+            # fall back to the sequential chain for stragglers
+            S, Q, m, info2 = reorder_schur(S, Q, sel, conf)
+            total_fail += int(info2 == Error.PARTIAL_REORDERING)
+            sel[:] = False
+            sel[:m] = True
+            subdiag = np.concatenate(
+                [np.asarray(jnp.diagonal(S, offset=-1)), [0.0]])
+            break
+        # grid of disjoint windows covering [m, n)
+        start = m + (offset_toggle * (W // 2))
+        offset_toggle ^= 1
+        ws_list = []
+        w0 = start
+        while w0 + W <= n:
+            ws_list.append(w0)
+            w0 += W
+        if not ws_list or (n - (ws_list[-1] + W)) > 0:
+            last = n - W
+            if not ws_list or last > ws_list[-1]:
+                ws_list.append(last)  # may overlap its neighbor; process it
+                # in a separate second batch to preserve disjointness
+        tail_overlap = len(ws_list) >= 2 and ws_list[-1] < ws_list[-2] + W
+        main_ws = ws_list[:-1] if tail_overlap else ws_list
+        batches = [main_ws] + ([[ws_list[-1]]] if tail_overlap else [])
+        for group in batches:
+            if not group:
+                continue
+            G = len(group)
+            ws_arr = np.asarray(group, np.int32)
+            wlo = np.array([1 if (w0 > 0 and subdiag[w0 - 1] != 0) else 0
+                            for w0 in group], np.int32)
+            wlim = np.array([W - 1 if (w0 + W < n and subdiag[w0 + W - 1] != 0)
+                             else W for w0 in group], np.int32)
+            Tws = _gather_windows(S, jnp.asarray(ws_arr), W)
+            sels = jnp.asarray(np.stack([sel[w0:w0 + W] for w0 in group]))
+            Tw2, Qw2, sel2, dsts, nfails = _window_bubble_batch(
+                Tws, sels, jnp.asarray(wlo), jnp.asarray(wlim).astype(jnp.int32),
+                jnp.asarray(wlim))
+            total_fail += int(np.asarray(nfails).sum())
+            for g, w0 in enumerate(group):
+                S, Q = _apply_window(S, Q, Tw2[g], Qw2[g], w0)
+                sel[w0:w0 + W] = np.asarray(sel2[g])
+            subdiag = np.concatenate(
+                [np.asarray(jnp.diagonal(S, offset=-1)), [0.0]])
+
+    m = _prefix_len(
+        np.concatenate([np.asarray(jnp.diagonal(S, offset=-1)), [0.0]]), sel)
+    info = Error.PARTIAL_REORDERING if total_fail else Error.SUCCESS
+    return S, Q, m, info

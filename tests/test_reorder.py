@@ -137,3 +137,18 @@ def test_reorder_complex_pairs_travel():
     S0, S1, m, info, select, ev0 = _run_and_check(n, seed=11, select_fn=pick, conf=conf)
     assert info == Error.SUCCESS
     _check_leading(S1, m, _aligned(select, S0), ev0)
+
+
+def test_reorder_parallel_matches():
+    from starneig_tpu.ops.reorder import reorder_schur_parallel
+    n = 96
+    S0, Q0, H = _make_schur(n, seed=31)
+    ev0 = _eigs(S0)
+    select = np.random.default_rng(5).random(n) < 0.3
+    S1, Q1, m, info = reorder_schur_parallel(S0, Q0, select,
+                                             ReorderConf(window_size=24))
+    S1, Q1 = np.asarray(S1), np.asarray(Q1)
+    assert schur_structure_error(S1) == 0.0
+    assert residual_sep(H, S1, Q1) < 3000
+    assert orthogonality(Q1) < 3000
+    _check_leading(S1, m, _aligned(select, S0), ev0)
