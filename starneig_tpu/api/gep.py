@@ -48,6 +48,10 @@ def schur(H, T, Q=None, Z=None, conf: Optional[SchurConf] = None):
     Qm = jnp.eye(n, dtype=dtype) if Q is None else jnp.asarray(Q)
     Zm = jnp.eye(n, dtype=dtype) if Z is None else jnp.asarray(Z)
     conf = (conf or SchurConf()).resolve(n)
+    if n > conf.small_limit:
+        # large problems: multishift QZ + AED driver
+        from starneig_tpu.ops.qz_driver import qz_schur
+        return qz_schur(H, T, Qm, Zm, conf=conf)
     u = float(jnp.finfo(dtype).eps) / 2
     th = u * float(jnp.linalg.norm(H))
     tt = u * float(jnp.linalg.norm(T))
