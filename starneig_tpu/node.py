@@ -130,10 +130,13 @@ def verify_backend(w: int = 64) -> float:
     """Known-answer backend self-test; returns the orthogonality defect.
 
     Runs the Francis QR solver on a fixed matrix and measures ||ZZ^T - I||.
-    A healthy f64 backend gives ~1e-13.  The tunneled TPU backend currently
-    exhibits a compilation-dependent defect (~2e-7, i.e. f32-level noise in
-    some fused loop contexts) — callers can use this probe to detect it and
-    report results accordingly.
+    A healthy run gives ~1e-12.  History: this probe originally exposed what
+    looked like an f32-level backend defect (~2e-7); the real cause was that
+    the TPU's f64 is emulated in double-f32 arithmetic, whose products of
+    two ~1e-16 operands lose the low word to f32 underflow — collapsed-bulge
+    reflectors then came out non-orthogonal.  Fixed by pre-scaling inside
+    ``primitives.householder``/``eig2x2``; the probe stays as a regression
+    guard for the whole solver loop.
     """
     import numpy as np
     import jax.numpy as jnp

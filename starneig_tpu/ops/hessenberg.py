@@ -31,13 +31,19 @@ from starneig_tpu.config import HessenbergConf
 from starneig_tpu.ops import primitives as prim
 
 
-@functools.partial(jax.jit, static_argnames=("nb",))
-def _panel(A, k, nb: int, end=None):
+@functools.partial(jax.jit, static_argnames=("nb", "t0"))
+def _panel(A, k, nb: int, t0: int = 0, end=None):
     """Factorize panel columns k..k+nb-1.
 
     Returns (V, T, Y, P): reflectors (n, nb) with v_j supported on rows
     > k+j, the compact-WY T (nb, nb), Y = A V T (n, nb), and the final
     panel column values P (n, nb) with exact zeros below the subdiagonal.
+
+    ``t0`` is a static bucketed bound with t0 <= k: every reflector is
+    supported on rows > t0, so the hot matvec u = A v contracts only over
+    columns >= t0 (the trailing-range bucketing that removes the ~2x flop
+    overhead of full-width matvecs; reference confines the same work to
+    the trailing matrix per panel, hessenberg/core.c:461-521).
     """
     n = A.shape[0]
     dtype = A.dtype
@@ -61,7 +67,7 @@ def _panel(A, k, nb: int, end=None):
         pcol = jnp.where(rows <= c, a, 0.0)
         pcol = jnp.where((rows == shift) & active, beta, pcol)
         pcol = jnp.where((rows == shift) & ~active, a, pcol)
-        u = A @ v
+        u = A[:, t0:] @ v[t0:]
         tcol = -tau * (T @ (V.T @ v))
         tcol = tcol.at[j].set(tau)
         V = V.at[:, j].set(v)
@@ -80,15 +86,25 @@ def _panel(A, k, nb: int, end=None):
     return V, T, Y, P
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _apply_panel(A, Q, V, T, Y, P, k):
-    """Trailing update + panel write-back + Q accumulation."""
-    n = A.shape[0]
-    nb = V.shape[1]
-    A = A - Y @ V.T
-    A = A - V @ (T.T @ (V.T @ A))
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("t0",))
+def _apply_panel(A, Q, V, T, Y, P, k, t0: int = 0):
+    """Trailing update + panel write-back + Q accumulation.
+
+    All reflectors are supported on rows > t0 (static, bucketed), so:
+      * the right update A <- A - Y V^T only touches columns >= t0;
+      * the left update A <- A - V T^T V^T A only touches rows >= t0, and
+        columns < t0 of those rows are already exactly zero below the
+        subdiagonal (Hessenberg), so V^T A vanishes there — restrict to
+        the [t0:, t0:] trailing block;
+      * Q accumulation only touches columns >= t0.
+    """
+    Vt = V[t0:]
+    A = A.at[:, t0:].add(-(Y @ Vt.T))
+    At = A[t0:, t0:]
+    At = At - Vt @ (T.T @ (Vt.T @ At))
+    A = A.at[t0:, t0:].set(At)
     A = lax.dynamic_update_slice(A, P, (k * 0, k))
-    Q = Q - (Q @ V) @ (T @ V.T)
+    Q = Q.at[:, t0:].add(-((Q[:, t0:] @ Vt) @ (T @ Vt.T)))
     return A, Q
 
 
@@ -118,9 +134,13 @@ def hessenberg(A, Q=None, conf: Optional[HessenbergConf] = None,
         return A, Q
     conf = (conf or HessenbergConf()).resolve(end - begin)
     nb = min(conf.panel_width, max(8, n - 2), n)
+    # trailing-range bucket: t0 <= k snapped down to multiples of BK so the
+    # sliced programs compile for at most ~8 distinct shapes per n
+    BK = max(nb, ((n // 8) // 8 + 1) * 8)
     for k in range(begin, end - 2, nb):
         k_eff = max(0, min(k, n - nb))  # keep the static panel inside the
         # matrix; re-processing already-reduced columns is an exact no-op
-        V, T, Y, P = _panel(A, k_eff, nb, jnp.int32(end))
-        A, Q = _apply_panel(A, Q, V, T, Y, P, k_eff)
+        t0 = (k_eff // BK) * BK
+        V, T, Y, P = _panel(A, k_eff, nb, t0, jnp.int32(end))
+        A, Q = _apply_panel(A, Q, V, T, Y, P, k_eff, t0)
     return A, Q

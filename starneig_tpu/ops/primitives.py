@@ -54,8 +54,18 @@ def householder(x, mask=None):
     """
     if mask is not None:
         x = jnp.where(mask, x, 0)
-    alpha = x[0]
-    tail = x.at[0].set(0)
+    # Scale to ~1 magnitude before forming any product.  The TPU's f64 is
+    # emulated in double-f32 arithmetic: a product of two ~1e-16 operands
+    # loses its low word to f32 underflow, leaving only ~f32 relative
+    # precision — which destroys reflector orthogonality exactly when a
+    # bulge collapses onto roundoff-level entries.  v and tau are scale
+    # invariant; beta scales linearly (LAPACK dlarfg applies the same
+    # rescaling for the subnormal range).
+    m = jnp.max(jnp.abs(x))
+    msafe = jnp.where(m == 0, jnp.ones((), x.dtype), m)
+    xs = x / msafe
+    alpha = xs[0]
+    tail = xs.at[0].set(0)
     # explicit sqrt-of-sum (NOT jnp.linalg.norm): some TPU fusion contexts
     # lower norm through an approximate-rsqrt path, which silently destroys
     # reflector orthogonality at the 1e-8 level
@@ -64,10 +74,10 @@ def householder(x, mask=None):
     degenerate = xnorm == 0
     tau = jnp.where(degenerate, 0.0, _safe_div(beta - alpha, beta))
     scale = _safe_div(jnp.ones((), x.dtype), alpha - beta)
-    v = jnp.where(degenerate, jnp.zeros_like(x), tail * scale).at[0].set(1.0)
+    v = jnp.where(degenerate, jnp.zeros_like(xs), tail * scale).at[0].set(1.0)
     if mask is not None:
         v = jnp.where(mask, v, 0).at[0].set(1.0)
-    beta = jnp.where(degenerate, alpha, beta)
+    beta = jnp.where(degenerate, alpha, beta) * msafe
     return v, tau, beta
 
 
@@ -102,6 +112,12 @@ def eig2x2(a, b, c, d):
 
     Stable quadratic: complex pairs get +/- conjugate imag parts.
     """
+    # scale to ~1 before forming p*p / b*c: products of two tiny operands
+    # lose their low word in the TPU's double-f32 f64 emulation (see
+    # householder); eigenvalues scale linearly
+    sc = jnp.abs(a) + jnp.abs(b) + jnp.abs(c) + jnp.abs(d)
+    sc = jnp.where(sc == 0, jnp.ones_like(sc), sc)
+    a, b, c, d = a / sc, b / sc, c / sc, d / sc
     p = 0.5 * (a - d)
     bc = b * c
     disc = p * p + bc
@@ -112,7 +128,7 @@ def eig2x2(a, b, c, d):
     lam2_r = jnp.where(real_case, jnp.where(z == 0, d, d - _safe_div(bc, z)), 0.5 * (a + d))
     lam1_i = jnp.where(real_case, 0.0, sq)
     lam2_i = jnp.where(real_case, 0.0, -sq)
-    return lam1_r, lam1_i, lam2_r, lam2_i
+    return lam1_r * sc, lam1_i * sc, lam2_r * sc, lam2_i * sc
 
 
 def standardize_2x2(a, b, c, d):

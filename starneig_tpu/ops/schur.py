@@ -282,20 +282,28 @@ def _aed_recondense(Tw, Vw, s, kbot):
     return Tw, Vw, beta
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("P", "W"))
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("P", "W", "wb", "hb"))
 def _apply_window_transform(Spad, Qpad, Vw, Tw, active_m, pos, spike, beta,
-                            P: int, W: int):
+                            P: int, W: int, wb: int = 0, hb: int = 0):
     """Apply a window transform Vw at global position pos (unpadded coords).
 
     Vw is (W, W), identity beyond the active block; the window content is
     replaced by Tw on the active m x m part; when ``spike`` is True the
     column pos-1 over the window rows is planted as beta*e1.
+
+    ``wb``/``hb`` (static, bucketed; 0 = full) bound the off-window GEMMs to
+    columns [NP-wb, NP) >= pos-1 and rows [0, hb) >= pos+W — exact for the
+    Hessenberg structure outside the window (see _apply_hop).
     """
     NP = Spad.shape[0]
     gp = P + pos
-    rows = lax.dynamic_slice(Spad, (gp, gp * 0), (W, NP))
-    Spad = lax.dynamic_update_slice(Spad, Vw.T @ rows, (gp, gp * 0))
-    cols = lax.dynamic_slice(Spad, (gp * 0, gp), (NP, W))
+    wb = wb or NP
+    hb = hb or NP
+    c0 = NP - wb
+    rows = lax.dynamic_slice(Spad, (gp, c0), (W, wb))
+    Spad = lax.dynamic_update_slice(Spad, Vw.T @ rows, (gp, c0))
+    cols = lax.dynamic_slice(Spad, (gp * 0, gp), (hb, W))
     Spad = lax.dynamic_update_slice(Spad, cols @ Vw, (gp * 0, gp))
     blk = lax.dynamic_slice(Spad, (gp, gp), (W, W))
     r = jnp.arange(W)
@@ -497,18 +505,36 @@ def _train_hop(Wnd, Qw, sr1, si1, sr2, si2, l_rel, ihi_rel, s0,
     return Wnd, Qw
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("WC",))
-def _apply_hop(Spad, Qpad, Wout, Qw, ws, WC: int):
+UPDATE_BUCKET = 512  # granularity of bucketed off-window GEMM extents
+
+
+def _bucket(extent: int, cap: int) -> int:
+    """Round extent up to the bucket grid (static shapes, few compiles)."""
+    return min(cap, ((max(extent, 1) + UPDATE_BUCKET - 1)
+                     // UPDATE_BUCKET) * UPDATE_BUCKET)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("WC", "wb", "hb"))
+def _apply_hop(Spad, Qpad, Wout, Qw, ws, WC: int, wb: int, hb: int):
     """Apply the hop's window transform to the full matrices.
 
-    Left rows over all columns, right columns over all rows, then the exact
-    window block (with its planted zeros) overwrites the overlap.
+    Left rows over the columns right of the window, right columns over the
+    rows above the window end, then the exact window block (with its
+    planted zeros) overwrites the overlap.  ``wb``/``hb`` are static
+    bucketed extents covering [ws-1, NP) columns and [0, ws+WC) rows — the
+    excluded regions are exactly zero for a Hessenberg matrix (row r has
+    support only on columns >= r-1), so restricting the GEMMs is exact and
+    removes the ~2x flop overhead of full-width updates (the reference's
+    per-tile update tasks do the same by skipping zero tiles,
+    tiles.c:164-217).
     """
     NP = Spad.shape[0]
     nq = Qpad.shape[0]
-    rows = lax.dynamic_slice(Spad, (ws, ws * 0), (WC, NP))
-    Spad = lax.dynamic_update_slice(Spad, Qw.T @ rows, (ws, ws * 0))
-    cols = lax.dynamic_slice(Spad, (ws * 0, ws), (NP, WC))
+    c0 = NP - wb
+    rows = lax.dynamic_slice(Spad, (ws, c0), (WC, wb))
+    Spad = lax.dynamic_update_slice(Spad, Qw.T @ rows, (ws, c0))
+    cols = lax.dynamic_slice(Spad, (ws * 0, ws), (hb, WC))
     Spad = lax.dynamic_update_slice(Spad, cols @ Qw, (ws * 0, ws))
     Spad = lax.dynamic_update_slice(Spad, Wout, (ws, ws))
     qc = lax.dynamic_slice(Qpad, (ws * 0, ws), (nq, WC))
@@ -525,6 +551,7 @@ def _sweep_batch_windowed(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int,
     """
     HOP = 3 * B
     WC = eyeWC.shape[0]               # 6*B + 4
+    NP = Spad.shape[0]
     steps = (ihi - l) - 2 + 3 * (B - 1) + 1
     s0 = 0
     while s0 < steps:
@@ -535,7 +562,9 @@ def _sweep_batch_windowed(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int,
         Wnd2, Qw = _train_hop(Wnd, eyeWC, sr1, si1, sr2, si2,
                               jnp.int32(l - ws), jnp.int32(ihi - ws),
                               jnp.int32(s0), B=B, WC=WC, HOP=HOP)
-        Spad, Qpad = _apply_hop(Spad, Qpad, Wnd2, Qw, ws, WC=WC)
+        wb = _bucket(NP - (ws - 1), NP)
+        hb = _bucket(ws + WC, NP)
+        Spad, Qpad = _apply_hop(Spad, Qpad, Wnd2, Qw, ws, WC=WC, wb=wb, hb=hb)
         s0 += hop
     return Spad, Qpad
 
@@ -674,7 +703,8 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
             Tw, Vw, sinfo = _solve_window(win, seg, thresh, eyes[Wb], _depth, None)
             Spad, Qpad = _apply_window_transform(
                 Spad, Qpad, Vw, Tw, seg, l, False, jnp.zeros((), dtype),
-                P=P, W=Wb)
+                P=P, W=Wb, wb=_bucket(NP - (P + l - 1), NP),
+                hb=_bucket(P + l + Wb, NP))
             if int(sinfo) != 0:
                 info = Error.DID_NOT_CONVERGE
                 break
@@ -700,7 +730,9 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
         else:
             beta = jnp.zeros((), dtype)
         Spad, Qpad = _apply_window_transform(
-            Spad, Qpad, Vw, Tw, w, kwtop, True, beta, P=P, W=Wb)
+            Spad, Qpad, Vw, Tw, w, kwtop, True, beta, P=P, W=Wb,
+            wb=_bucket(NP - (P + kwtop - 1), NP),
+            hb=_bucket(P + kwtop + Wb, NP))
         ihi -= nd
 
         if nd > 0 and 100 * nd >= conf.aed_nibble * w:
