@@ -84,6 +84,19 @@ def _masked_window(Spad, pos, m, P: int, W: int):
     return jnp.where(act, win, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("P", "W"))
+def _grab_window(Spad, pos, m, P: int, W: int):
+    """Masked window plus its spike column in ONE array (one D2H transfer).
+
+    Returns (W, W+1): column 0 is Spad[P+pos : P+pos+W, P+pos-1] (the spike
+    coupling into the window), columns 1..W the masked window.
+    """
+    blk = lax.dynamic_slice(Spad, (P + pos, P + pos - 1), (W, W + 1))
+    r = jnp.arange(W)
+    act = (r[:, None] < m) & (jnp.arange(W + 1)[None, :] - 1 < m)
+    return jnp.where(act | (jnp.arange(W + 1)[None, :] == 0), blk, 0.0)
+
+
 @jax.jit
 def standardize_blocks(S, Q):
     """Standardize every 2x2 diagonal block of a quasi-triangular S.
@@ -542,18 +555,71 @@ def _apply_hop(Spad, Qpad, Wout, Qw, ws, WC: int, wb: int, hb: int):
     return Spad, Qpad
 
 
+HOP_GROUP = 8   # hops fused per device dispatch (static trip count)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("B", "WC", "wb", "hb", "nh"))
+def _hop_group(Spad, Qpad, eyeWC, sr1, si1, sr2, si2, l, ihi, s00, ws00,
+               B: int, WC: int, wb: int, hb: int, nh: int):
+    """``nh`` full hops fused into one device program.
+
+    Each hop h starts at step s00 + h*3B with window start ws00 + h*3B; the
+    off-window updates use the group-conservative static buckets wb/hb
+    (columns [NP-wb, NP), rows [0, hb)) — exact for Hessenberg structure.
+    Fusing hops removes the per-dispatch latency that dominates the sweep
+    on a tunneled device (one dispatch per ~3B*nh chased rows instead of
+    two per 3B rows).
+    """
+    NP = Spad.shape[0]
+    nq = Qpad.shape[0]
+    HOP = 3 * B
+    c0 = jnp.int32(NP - wb)
+
+    def hop(h, carry):
+        Spad, Qpad = carry
+        s0 = s00 + h * HOP
+        ws = ws00 + h * HOP
+        Wnd = lax.dynamic_slice(Spad, (ws, ws), (WC, WC))
+        Wnd2, Qw = _train_hop(Wnd, eyeWC, sr1, si1, sr2, si2,
+                              l - ws, ihi - ws, s0, B=B, WC=WC, HOP=HOP)
+        rows = lax.dynamic_slice(Spad, (ws, c0), (WC, wb))
+        Spad = lax.dynamic_update_slice(Spad, Qw.T @ rows, (ws, c0))
+        cols = lax.dynamic_slice(Spad, (ws * 0, ws), (hb, WC))
+        Spad = lax.dynamic_update_slice(Spad, cols @ Qw, (ws * 0, ws))
+        Spad = lax.dynamic_update_slice(Spad, Wnd2, (ws, ws))
+        qc = lax.dynamic_slice(Qpad, (ws * 0, ws), (nq, WC))
+        Qpad = lax.dynamic_update_slice(Qpad, qc @ Qw, (ws * 0, ws))
+        return Spad, Qpad
+
+    return lax.fori_loop(0, nh, hop, (Spad, Qpad))
+
+
 def _sweep_batch_windowed(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int,
                           eyeWC):
     """Chase one B-bulge train across [l, ihi) via windowed hops.
 
-    l/ihi are Python ints in padded coordinates; all hop kernels and GEMM
-    applications dispatch asynchronously (step counts known up front).
+    l/ihi are Python ints in padded coordinates; full hops dispatch in
+    fused groups of HOP_GROUP, the remainder per hop — everything
+    asynchronously (step counts known up front).
     """
     HOP = 3 * B
     WC = eyeWC.shape[0]               # 6*B + 4
     NP = Spad.shape[0]
     steps = (ihi - l) - 2 + 3 * (B - 1) + 1
     s0 = 0
+    # fused full-hop groups
+    while steps - s0 >= HOP * HOP_GROUP:
+        ws_first = l + s0 - 3 * (B - 1) - 1
+        ws_last = ws_first + (HOP_GROUP - 1) * HOP
+        wb = _bucket(NP - (ws_first - 1), NP)
+        hb = _bucket(ws_last + WC, NP)
+        Spad, Qpad = _hop_group(
+            Spad, Qpad, eyeWC, sr1, si1, sr2, si2, jnp.int32(l),
+            jnp.int32(ihi), jnp.int32(s0), jnp.int32(ws_first),
+            B=B, WC=WC, wb=wb, hb=hb, nh=HOP_GROUP)
+        s0 += HOP * HOP_GROUP
+    # per-hop tail (includes the final partial hop)
     while s0 < steps:
         hop = min(HOP, steps - s0)
         # window start: one column left of the train block's lowest row
@@ -593,7 +659,19 @@ def _pair_shifts(er: np.ndarray, ei: np.ndarray, ns: int):
 
 
 RECURSE_MIN = 160   # windows above this solve via a recursive schur() call
+HOST_RECURSE_MIN = 448  # with native codelets: host QR up to here, then recurse
 MAX_DEPTH = 3       # recursion guard (reference: perform_large_aed recursion)
+
+
+def _host_windows(dtype) -> bool:
+    """True when the native host window codelets handle this dtype.
+
+    The reference runs all window work as CPU codelets (cpu_utils.c) while
+    accelerators take the GEMM updates; this build does the same — see
+    starneig_tpu.native_kernels.  f32 solves keep the device kernels.
+    """
+    from starneig_tpu import native_kernels as nk
+    return dtype == jnp.float64 and nk.available()
 
 
 def _solve_window(win, m, thresh, eye, depth, conf_seed):
@@ -622,14 +700,17 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
       Error.DID_NOT_CONVERGE (outputs then hold a partially reduced,
       still-similar matrix — reference error semantics, error.h:105-111).
     """
+    from starneig_tpu import native_kernels as nk
+
     H = jnp.asarray(H)
     n = H.shape[0]
     dtype = H.dtype
     Q = jnp.eye(n, dtype=dtype) if Q is None else jnp.asarray(Q)
     conf = (conf or SchurConf()).resolve(n)
+    use_host = _host_windows(dtype)
 
     # static sizes
-    B = min(12, max(1, n // 8))                 # bulges per train (2B shifts)
+    B = min(16, max(1, n // 8))                 # bulges per train (2B shifts)
     SMALL_W = min(max(64, conf.small_limit), n)
     WA = min(max(32, conf.aed_window_size + 2), n)
     WC = 6 * B + 4                              # train chase window
@@ -699,8 +780,17 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
 
         if seg <= SMALL_W:
             Wb = bucket_of(seg)
-            win = _masked_window(Spad, l, seg, P, Wb)
-            Tw, Vw, sinfo = _solve_window(win, seg, thresh, eyes[Wb], _depth, None)
+            if use_host:
+                WIN = np.asarray(_grab_window(Spad, l, seg, P, Wb))
+                Hw = np.ascontiguousarray(WIN[:, 1:])
+                Zw = np.eye(Wb)
+                sinfo = nk.hseqr(Hw, Zw, 0, seg, thresh)
+                Tw = jnp.asarray(Hw)
+                Vw = jnp.asarray(Zw)
+            else:
+                win = _masked_window(Spad, l, seg, P, Wb)
+                Tw, Vw, sinfo = _solve_window(win, seg, thresh, eyes[Wb],
+                                              _depth, None)
             Spad, Qpad = _apply_window_transform(
                 Spad, Qpad, Vw, Tw, seg, l, False, jnp.zeros((), dtype),
                 P=P, W=Wb, wb=_bucket(NP - (P + l - 1), NP),
@@ -715,20 +805,41 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
         w = min(WA, conf.aed_window_size, seg - 1)
         kwtop = ihi - w
         Wb = bucket_of(w)
-        win = _masked_window(Spad, kwtop, w, P, Wb)
-        s_spike = Spad[P + kwtop, P + kwtop - 1]
-        Tw, Vw, sinfo = _solve_window(win, w, thresh, eyes[Wb], _depth, None)
-        Tw, Vw, kbot, dfail = _aed_deflate(Tw, Vw, s_spike, w, thresh)
-        kbot_i = int(kbot)
-        nd = w - kbot_i
-        # shifts come from the undeflated Schur diagonal *before* recondense
-        er_w, ei_w = extract_eigenvalues(Tw)
-        er_w = np.asarray(er_w)[:kbot_i]
-        ei_w = np.asarray(ei_w)[:kbot_i]
-        if kbot_i > 0:
-            Tw, Vw, beta = _aed_recondense(Tw, Vw, s_spike, kbot)
+        if use_host and w <= HOST_RECURSE_MIN:
+            # one host codelet = window Schur + spike deflation + shift
+            # extraction + recondense (reference: aggressively_deflate task,
+            # schur/tasks.c:256 -> cpu_utils.c:2837) — a single D2H/H2D
+            # round trip per AED round
+            WIN = np.asarray(_grab_window(Spad, kwtop, w, P, Wb))
+            s_host = float(WIN[0, 0])
+            Tn, Vn, kbot_i, er_w, ei_w, beta_f, sinfo = nk.aed(
+                WIN[:w, 1:w + 1], s_host, thresh)
+            if sinfo != 0:
+                info = Error.DID_NOT_CONVERGE
+                break
+            nd = w - kbot_i
+            Tb = np.zeros((Wb, Wb))
+            Tb[:w, :w] = Tn
+            Vb = np.eye(Wb)
+            Vb[:w, :w] = Vn
+            Tw, Vw = jnp.asarray(Tb), jnp.asarray(Vb)
+            beta = jnp.asarray(beta_f, dtype)
         else:
-            beta = jnp.zeros((), dtype)
+            win = _masked_window(Spad, kwtop, w, P, Wb)
+            s_spike = Spad[P + kwtop, P + kwtop - 1]
+            Tw, Vw, sinfo = _solve_window(win, w, thresh, eyes[Wb], _depth,
+                                          None)
+            Tw, Vw, kbot, dfail = _aed_deflate(Tw, Vw, s_spike, w, thresh)
+            kbot_i = int(kbot)
+            nd = w - kbot_i
+            # shifts come from the undeflated diagonal *before* recondense
+            er_w, ei_w = extract_eigenvalues(Tw)
+            er_w = np.asarray(er_w)[:kbot_i]
+            ei_w = np.asarray(ei_w)[:kbot_i]
+            if kbot_i > 0:
+                Tw, Vw, beta = _aed_recondense(Tw, Vw, s_spike, kbot)
+            else:
+                beta = jnp.zeros((), dtype)
         Spad, Qpad = _apply_window_transform(
             Spad, Qpad, Vw, Tw, w, kwtop, True, beta, P=P, W=Wb,
             wb=_bucket(NP - (P + kwtop - 1), NP),
@@ -757,9 +868,9 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
                 arr[len(chunk):] = arr[len(chunk) - 1]
             Spad, Qpad = _sweep_batch_windowed(
                 Spad, Qpad, P + l, P + ihi,
-                jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]),
-                jnp.asarray(arr[:, 2]), jnp.asarray(arr[:, 3]), B=B,
-                eyeWC=eyeWC)
+                jnp.asarray(arr[:, 0], dtype), jnp.asarray(arr[:, 1], dtype),
+                jnp.asarray(arr[:, 2], dtype), jnp.asarray(arr[:, 3], dtype),
+                B=B, eyeWC=eyeWC)
 
     S = lax.dynamic_slice(Spad, (P, P), (n, n))
     Qf = lax.dynamic_slice(Qpad, (0, P), (n, n))
