@@ -66,8 +66,15 @@ def _panel(A, k, nb: int, t0: int = 0, end=None):
         tau = jnp.where(active, tau, 0.0)
         pcol = jnp.where(rows <= c, a, 0.0)
         pcol = jnp.where((rows == shift) & active, beta, pcol)
-        pcol = jnp.where((rows == shift) & ~active, a, pcol)
-        u = A[:, t0:] @ v[t0:]
+        # columns outside the reduction range [begin, end) are NOT reduced:
+        # plant the fully-corrected column as-is (zeroing its lower rows
+        # would destroy the matrix in partial-range mode)
+        pcol = jnp.where(active | (rows <= c), pcol, a)
+        # rows < t0 of u (needed only for the final panel values and the
+        # right update there) are reconstructed by one deferred GEMM in
+        # _apply_panel — the hot sequential matvec runs on the trailing
+        # (bucketed) square only
+        u = jnp.zeros((n,), dtype).at[t0:].set(A[t0:, t0:] @ v[t0:])
         tcol = -tau * (T @ (V.T @ v))
         tcol = tcol.at[j].set(tau)
         V = V.at[:, j].set(v)
@@ -99,7 +106,16 @@ def _apply_panel(A, Q, V, T, Y, P, k, t0: int = 0):
       * Q accumulation only touches columns >= t0.
     """
     Vt = V[t0:]
-    A = A.at[:, t0:].add(-(Y @ Vt.T))
+    # Y from _panel is supported on rows >= t0 (the in-loop matvec runs on
+    # the trailing square only); reconstruct the top rows with one GEMM and
+    # patch the panel's top values, which the in-loop correction skipped
+    Ytop = (A[:t0, t0:] @ Vt) @ T
+    nb = V.shape[1]
+    Pk = lax.dynamic_slice(A, (0 * k, k), (A.shape[0], nb))
+    Vp = lax.dynamic_slice(V, (k, 0 * k), (nb, nb))
+    P = P.at[:t0].set(Pk[:t0] - Ytop @ Vp.T)
+    A = A.at[:t0, t0:].add(-(Ytop @ Vt.T))
+    A = A.at[t0:, t0:].add(-(Y[t0:] @ Vt.T))
     At = A[t0:, t0:]
     At = At - Vt @ (T.T @ (Vt.T @ At))
     A = A.at[t0:, t0:].set(At)

@@ -75,3 +75,19 @@ def test_matches_scipy_structure():
     np.testing.assert_allclose(
         np.sort(np.abs(np.diagonal(np.asarray(H), -1))),
         np.sort(np.abs(np.diagonal(Hs, -1))), rtol=1e-8)
+
+
+def test_partial_range_is_similarity():
+    """Partial reduction must stay a similarity transform (regression: the
+    panel used to zero the lower rows of unreduced columns past ``end``)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from starneig_tpu.ops.hessenberg import hessenberg
+    rng = np.random.default_rng(7)
+    n = 150
+    A = rng.standard_normal((n, n))
+    H, Q = map(np.asarray, hessenberg(jnp.asarray(A), end=90))
+    u = np.finfo(np.float64).eps / 2
+    res = np.linalg.norm(Q @ H @ Q.T - A) / np.linalg.norm(A) / u
+    assert res < 10000, res
+    assert np.abs(np.tril(H[:, :88], -2)).max() == 0.0
