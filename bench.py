@@ -59,7 +59,9 @@ def main():
     # reference's fail threshold (10,000 u)
     S_np, Q_np = map(np.asarray, (S, Q2))
     A_np = A_host.astype(np.asarray(S_np).dtype)
-    u = float(jnp.finfo(dtype).eps) / 2
+    # reference convention: residuals scale by 2^52, i.e. u = eps
+    # (test/common/checks.c:190)
+    u = float(jnp.finfo(dtype).eps)
     res = float(np.linalg.norm(Q_np @ S_np @ Q_np.T - A_np) /
                 max(np.linalg.norm(A_np), 1e-300) / u)
 

@@ -636,6 +636,188 @@ def _sweep_batch_windowed(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int,
 
 
 # ---------------------------------------------------------------------------
+# device-side shift selection (reference: extract_shifts task, tasks.c:516 +
+# the conjugate-pair alignment of LAPACK dlaqr0)
+# ---------------------------------------------------------------------------
+
+def _pack_shifts(er, ei, Tw, kbot, NS: int, B: int, TMAX: int):
+    """Select up to NS shifts from the undeflated window diagonal (device).
+
+    ``er/ei`` are the window eigenvalues (conjugate pairs adjacent, the
+    2x2-block layout of a real Schur form), ``kbot`` the undeflated row
+    count.  Picks the bottom-most even-sized run [start, kbot) that does not
+    straddle a 2x2 block, re-aligns conjugate pairs with the published
+    dlaqr0 3-rotation shuffle, and packs the pairs bottom-first into a
+    (TMAX, B, 4) train tensor of (sr1, si1, sr2, si2) rows, replicating the
+    last valid pair into unused slots (a duplicated shift is still a valid
+    shift — it emulates a shorter train).
+
+    Returns (shifts, npairs).
+    """
+    WA = er.shape[0]
+    kreq = jnp.minimum(NS, (kbot // 2) * 2)
+    start = kbot - kreq
+    sc = jnp.clip(start, 1, WA - 1)
+    straddle = (start >= 1) & (Tw[sc, sc - 1] != 0)
+    start = start + straddle
+    kreq = kbot - start
+    start = start + (kreq % 2)          # drop the topmost value if odd
+    kreq = jnp.maximum(kbot - start, 0)
+
+    j = jnp.arange(NS, dtype=jnp.int32)
+    src = jnp.clip(start + j, 0, WA - 1)
+    wr = jnp.where(j < kreq, er[src], 0.0)
+    wi = jnp.where(j < kreq, ei[src], 0.0)
+
+    def fix(t, c):
+        wr, wi = c
+        i = kreq - 1 - 2 * t
+        ok = i >= 2
+        ic = jnp.clip(i, 2, NS - 1)
+        bad = ok & (wi[ic] != -wi[ic - 1])
+
+        def rot(a):
+            v2, v1, v0 = a[ic], a[ic - 1], a[ic - 2]
+            a = a.at[ic].set(jnp.where(bad, v1, v2))
+            a = a.at[ic - 1].set(jnp.where(bad, v0, v1))
+            a = a.at[ic - 2].set(jnp.where(bad, v2, v0))
+            return a
+
+        return rot(wr), rot(wi)
+
+    wr, wi = lax.fori_loop(0, max(NS // 2, 1), fix, (wr, wi))
+
+    npairs = kreq // 2
+    pj = jnp.arange(TMAX * B, dtype=jnp.int32)
+    pe = jnp.minimum(pj, jnp.maximum(npairs - 1, 0))
+    a1 = jnp.clip(kreq - 1 - 2 * pe, 0, NS - 1)
+    a0 = jnp.clip(a1 - 1, 0, NS - 1)
+    quad = jnp.stack([wr[a1], wi[a1], wr[a0], wi[a0]], axis=-1)
+    return quad.reshape(TMAX, B, 4), npairs
+
+
+# ---------------------------------------------------------------------------
+# device-resident AED round
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("P", "WA", "NS", "B", "TMAX", "nibble"))
+def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
+               P: int, WA: int, NS: int, B: int, TMAX: int, nibble: int):
+    """One full AED round, entirely on device (ONE small D2H per round).
+
+    Performs: negligible-subdiagonal zeroing, converged-block peel, segment
+    scan, AED window Schur solve (Francis), spike deflation with block
+    moves, shift extraction + packing, window recondense, and the
+    off-window GEMM application of the window transform.  This fuses what
+    the reference spreads over the segment state machine's NEW -> AED_* ->
+    BULGES transitions (schur/core.c:1878-2293) into one dispatch; the
+    host reads back only a 6-int status vector to schedule the bulge-chase
+    sweeps (whose extents it needs as Python ints for bucketed dispatch).
+
+    Returns (Spad, Qpad, shifts(TMAX,B,4), status(6,) int32) with status =
+    [new_ihi, l, ntr, fail, nd, npairs].
+    """
+    from starneig_tpu.ops.small_schur import small_schur
+
+    NP = Spad.shape[0]
+    n = NP - 2 * P
+    dtype = Spad.dtype
+
+    # -- negligible-subdiagonal zeroing + converged-block peel --
+    S = lax.dynamic_slice(Spad, (P, P), (n, n))
+    S, sub = _zero_negligible(S, ihi, thresh)
+    Spad = lax.dynamic_update_slice(Spad, S, (P, P))
+
+    def pcond(c):
+        ih, again = c
+        return again & (ih > 0)
+
+    def pbody(c):
+        ih, _ = c
+        one = (ih == 1) | (sub[jnp.maximum(ih - 2, 0)] == 0.0)
+        two = (~one) & ((ih == 2) | (sub[jnp.maximum(ih - 3, 0)] == 0.0))
+        nih = jnp.where(one, ih - 1, jnp.where(two, ih - 2, ih))
+        return nih, one | two
+
+    ihi, _ = lax.while_loop(pcond, pbody, (ihi, jnp.bool_(True)))
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    zb = (sub == 0.0) & (idx < ihi - 1)
+    l = jnp.max(jnp.where(zb, idx + 1, 0)).astype(jnp.int32)
+    converged = ihi <= 0
+    l = jnp.where(converged, jnp.int32(0), l)
+
+    def skip(Spad, Qpad):
+        z = jnp.zeros((TMAX, B, 4), dtype)
+        return (Spad, Qpad, z, ihi, jnp.int32(0), jnp.bool_(False),
+                jnp.int32(0), jnp.int32(0))
+
+    def do_aed(Spad, Qpad):
+        seg = ihi - l                     # >= 2 after the peel
+        w = jnp.minimum(jnp.int32(WA), seg)
+        kwtop = ihi - w
+        gk = P + kwtop
+
+        win = lax.dynamic_slice(Spad, (gk, gk), (WA, WA))
+        r = jnp.arange(WA)
+        act = (r[:, None] < w) & (r[None, :] < w)
+        win = jnp.where(act, win, 0.0)
+        s_spike = Spad[gk, gk - 1]        # exactly 0 when kwtop == l
+
+        Tw, Vw, sinfo = small_schur(win, eyeW, w, thresh)
+        sfail = sinfo != 0
+
+        Tw, Vw, kbot, _dfail = _aed_deflate(Tw, Vw, s_spike, w, thresh)
+        nd = w - kbot
+
+        er_w, ei_w = extract_eigenvalues(Tw)
+        shifts, npairs = _pack_shifts(er_w, ei_w, Tw, kbot, NS, B, TMAX)
+
+        Tw, Vw, beta = _aed_recondense(Tw, Vw, s_spike, kbot)
+
+        # window transform applied at full extents (exact: Vw is identity
+        # outside the active block); rows first, then columns see the
+        # left-updated values, then the window block is planted exactly.
+        z0 = gk * 0
+        rows = lax.dynamic_slice(Spad, (gk, z0), (WA, NP))
+        Spad = lax.dynamic_update_slice(Spad, Vw.T @ rows, (gk, z0))
+        cols = lax.dynamic_slice(Spad, (z0, gk), (NP, WA))
+        Spad = lax.dynamic_update_slice(Spad, cols @ Vw, (z0, gk))
+        blk = lax.dynamic_slice(Spad, (gk, gk), (WA, WA))
+        Spad = lax.dynamic_update_slice(Spad, jnp.where(act, Tw, blk),
+                                        (gk, gk))
+        spk = jnp.where(r[:, None] == 0, beta, 0.0)
+        Spad = lax.dynamic_update_slice(Spad, spk, (gk, gk - 1))
+        qc = lax.dynamic_slice(Qpad, (z0, gk), (Qpad.shape[0], WA))
+        Qpad = lax.dynamic_update_slice(Qpad, qc @ Vw, (z0, gk))
+
+        new_ihi = ihi - nd
+
+        # exceptional-shift fallback when the window yielded no usable pair
+        hq = Spad[P + new_ihi - 1, P + jnp.maximum(new_ihi - 2, 0)]
+        d0 = Spad[P + new_ihi - 1, P + jnp.maximum(new_ihi - 1, 0)]
+        esh = d0 + 0.75 * jnp.abs(hq)
+        fb = jnp.stack([esh, 0 * esh, esh, 0 * esh])
+        need_fb = npairs == 0
+        shifts = jnp.where(need_fb, jnp.broadcast_to(fb, (TMAX, B, 4)),
+                           shifts)
+        npairs = jnp.where(need_fb, 1, npairs)
+        return Spad, Qpad, shifts, new_ihi, npairs, sfail, nd, w
+
+    Spad, Qpad, shifts, new_ihi, npairs, sfail, nd, w = lax.cond(
+        converged, skip, do_aed, Spad, Qpad)
+
+    # nibble test (reference core.c:819-824) + tiny-segment skip
+    skip_sweep = (((nd > 0) & (100 * nd >= nibble * w))
+                  | (new_ihi - l <= 2) | converged | sfail)
+    ntr = jnp.where(skip_sweep, 0, (npairs + B - 1) // B)
+    status = jnp.stack([new_ihi, l, ntr, sfail.astype(jnp.int32), nd,
+                        npairs]).astype(jnp.int32)
+    return Spad, Qpad, shifts, status
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
@@ -658,32 +840,18 @@ def _pair_shifts(er: np.ndarray, ei: np.ndarray, ns: int):
     return pairs
 
 
-RECURSE_MIN = 160   # windows above this solve via a recursive schur() call
-HOST_RECURSE_MIN = 448  # with native codelets: host QR up to here, then recurse
-MAX_DEPTH = 3       # recursion guard (reference: perform_large_aed recursion)
-
-
-def _host_windows(dtype) -> bool:
-    """True when the native host window codelets handle this dtype.
-
-    The reference runs all window work as CPU codelets (cpu_utils.c) while
-    accelerators take the GEMM updates; this build does the same — see
-    starneig_tpu.native_kernels.  f32 solves keep the device kernels.
-    """
-    from starneig_tpu import native_kernels as nk
-    return dtype == jnp.float64 and nk.available()
-
-
-def _solve_window(win, m, thresh, eye, depth, conf_seed):
-    """Schur-reduce a masked window: recursive AED for large windows
-    (reference: perform_large_aed, schur/core.c:1423-1551), Francis QR for
-    small ones.  Returns (Tw, Vw, info_int)."""
-    W = win.shape[0]
-    if m > RECURSE_MIN and depth < MAX_DEPTH:
-        S, V, _er, _ei, info = schur(win, eye, conf=conf_seed, _depth=depth + 1)
-        return S, V, (0 if info == Error.SUCCESS else 1)
-    Tw, Vw, sinfo = small_schur(win, eye, m, thresh)
-    return Tw, Vw, int(sinfo)
+def _resolve_threshold(H, conf, dtype):
+    """Deflation threshold (norm-stable default, reference core.c:2428-2462)."""
+    tiny = float(np.finfo(np.float32).tiny if dtype == jnp.float32
+                 else np.finfo(np.float64).tiny)
+    u = float(jnp.finfo(dtype).eps) / 2
+    if conf.left_threshold == DeflationCriterion.NORM_STABLE:
+        thresh = u * jnp.linalg.norm(H)
+    elif conf.left_threshold == DeflationCriterion.LAPACK:
+        thresh = jnp.asarray(tiny, dtype)
+    else:
+        thresh = jnp.asarray(float(conf.left_threshold), dtype)
+    return jnp.maximum(thresh, tiny).astype(dtype)
 
 
 def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
@@ -691,63 +859,67 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
 
     Mirrors ``starneig_SEP_SM_Schur`` (reference: sep_sm.h:159-227): Q (if
     given) is accumulated on the right, eigenvalues are extracted from the
-    final Schur form.  Large AED windows recurse into the full driver with
-    their own (smaller) auto-tuned configuration — the reference's
-    parallel-AED recursion (core.c:1423).
+    final Schur form.
+
+    Architecture (TPU-native, round 2): each AED round — deflation scan,
+    window Schur solve, spike deflation, shift extraction, recondense, and
+    the window-transform GEMMs — executes as ONE device dispatch
+    (:func:`_aed_round`); the host reads back a 6-int status per round and
+    schedules the windowed bulge-chase sweeps with statically bucketed
+    update extents.  Device<->host traffic is one ~24-byte transfer per
+    round instead of the reference's per-task status polling
+    (schur/core.c:2295-2336); all numerics are f64 on device.
+
+    Consumed expert knobs (reference expert.h:198-361): ``aed_window_size``
+    (AED window), ``aed_shift_count`` (shifts per sweep),
+    ``shifts_per_window``/``window_size`` (bulges per train B =
+    shifts_per_window/2, chase window 6B+4 ~= window_size),
+    ``update_width``/``update_height`` (off-window GEMM bucket granularity),
+    ``aed_nibble``, ``iteration_limit``, and the deflation criteria.
 
     Returns:
       (S, Q, eig_real, eig_imag, info) with info == Error.SUCCESS or
       Error.DID_NOT_CONVERGE (outputs then hold a partially reduced,
       still-similar matrix — reference error semantics, error.h:105-111).
     """
-    from starneig_tpu import native_kernels as nk
-
+    del _depth  # recursion now lives inside the device AED round
     H = jnp.asarray(H)
     n = H.shape[0]
     dtype = H.dtype
     Q = jnp.eye(n, dtype=dtype) if Q is None else jnp.asarray(Q)
     conf = (conf or SchurConf()).resolve(n)
-    use_host = _host_windows(dtype)
 
-    # static sizes
-    B = min(16, max(1, n // 8))                 # bulges per train (2B shifts)
-    SMALL_W = min(max(64, conf.small_limit), n)
+    if n <= min(conf.small_limit, 300):
+        # whole problem below the small limit: one Francis dispatch
+        # (reference small-segment path, schur/core.c:1309)
+        thresh = _resolve_threshold(H, conf, dtype)
+        S0, Z, sinfo = small_schur(H, jnp.eye(n, dtype=dtype), n, thresh)
+        info = Error.SUCCESS if int(sinfo) == 0 else Error.DID_NOT_CONVERGE
+        S0, QZ = standardize_blocks(S0, Q @ Z)
+        er, ei = extract_eigenvalues(S0)
+        return S0, QZ, er, ei, info
+
+    # static geometry (all consumed from the resolved expert config)
     WA = min(max(32, conf.aed_window_size + 2), n)
-    WC = 6 * B + 4                              # train chase window
-    P = max(3 * B + 4, WC + 2, SMALL_W, WA) + 2
+    NS = max(2, min(conf.aed_shift_count // 2 * 2, 2 * (WA // 2)))
+    B = max(2, min(conf.shifts_per_window // 2, NS // 2, max(2, n // 12)))
+    WC = 6 * B + 4                        # train chase window (~window_size)
+    TMAX = max(1, (NS // 2 + B - 1) // B)
+    P = max(3 * B + 4, WC + 2, WA) + 2
     NP = n + 2 * P
+
+    global UPDATE_BUCKET
+    UPDATE_BUCKET = max(256, (conf.update_width + 255) // 256 * 256)
 
     Spad = jnp.zeros((NP, NP), dtype)
     Spad = lax.dynamic_update_slice(Spad, H, (P, P))
     Qpad = jnp.zeros((n, NP), dtype)
     Qpad = lax.dynamic_update_slice(Qpad, Q, (0, P))
 
-    # deflation threshold (norm-stable default, reference core.c:2428-2462)
-    tiny = float(np.finfo(np.float32).tiny if dtype == jnp.float32
-                 else np.finfo(np.float64).tiny)
-    u = float(jnp.finfo(dtype).eps) / 2
-    if conf.left_threshold == DeflationCriterion.NORM_STABLE:
-        thresh = u * float(jnp.linalg.norm(H))
-    elif conf.left_threshold == DeflationCriterion.LAPACK:
-        thresh = tiny
-    else:
-        thresh = float(conf.left_threshold)
-    thresh = max(thresh, tiny)
+    thresh = _resolve_threshold(H, conf, dtype)
 
-    # size-bucketed window buffers: masked sweeps always run the full static
-    # buffer length, so a snug bucket halves the wasted steps on shrinking
-    # segments (each bucket compiles once, cached persistently)
-    maxW = max(SMALL_W, WA)
-    buckets = sorted({b for b in (64, 96, 160, 224, 288, 352, 416, 480)
-                      if b <= maxW} | {maxW, SMALL_W, WA})
-    eyes = {b: jnp.eye(b, dtype=dtype) for b in buckets}
+    eyeW = jnp.eye(WA, dtype=dtype)
     eyeWC = jnp.eye(WC, dtype=dtype)
-
-    def bucket_of(m):
-        for b in buckets:
-            if b >= m:
-                return b
-        return buckets[-1]
 
     info = Error.SUCCESS
     ihi = n
@@ -755,122 +927,32 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     last_ihi = ihi
 
     while ihi > 0:
-        Spad, sub = _zero_negligible_pad(Spad, ihi, thresh, P)
-        sub = np.asarray(sub)
-        while ihi > 0:  # peel converged trailing 1x1/2x2 blocks
-            if ihi == 1 or sub[ihi - 2] == 0.0:
-                ihi -= 1
-            elif ihi == 2 or sub[ihi - 3] == 0.0:
-                ihi -= 2
-            else:
-                break
-        if ihi <= 0:
+        Spad, Qpad, shifts, status = _aed_round(
+            Spad, Qpad, jnp.int32(ihi), thresh, eyeW,
+            P=P, WA=WA, NS=NS, B=B, TMAX=TMAX, nibble=conf.aed_nibble)
+        st = np.asarray(status)           # the round's one small D2H
+        new_ihi, l, ntr, sfail, nd, _npairs = (int(v) for v in st)
+        if sfail:
+            info = Error.DID_NOT_CONVERGE
+            ihi = new_ihi
             break
-        if ihi != last_ihi:
+        if new_ihi <= 0:
+            ihi = 0
+            break
+        if new_ihi != last_ihi:
             it_seg = 0
-            last_ihi = ihi
+            last_ihi = new_ihi
         it_seg += 1
         if it_seg > conf.iteration_limit:
             info = Error.DID_NOT_CONVERGE
+            ihi = new_ihi
             break
-
-        zeros = np.nonzero(sub[:ihi - 1] == 0.0)[0]
-        l = int(zeros[-1] + 1) if zeros.size else 0
-        seg = ihi - l
-
-        if seg <= SMALL_W:
-            Wb = bucket_of(seg)
-            if use_host:
-                WIN = np.asarray(_grab_window(Spad, l, seg, P, Wb))
-                Hw = np.ascontiguousarray(WIN[:, 1:])
-                Zw = np.eye(Wb)
-                sinfo = nk.hseqr(Hw, Zw, 0, seg, thresh)
-                Tw = jnp.asarray(Hw)
-                Vw = jnp.asarray(Zw)
-            else:
-                win = _masked_window(Spad, l, seg, P, Wb)
-                Tw, Vw, sinfo = _solve_window(win, seg, thresh, eyes[Wb],
-                                              _depth, None)
-            Spad, Qpad = _apply_window_transform(
-                Spad, Qpad, Vw, Tw, seg, l, False, jnp.zeros((), dtype),
-                P=P, W=Wb, wb=_bucket(NP - (P + l - 1), NP),
-                hb=_bucket(P + l + Wb, NP))
-            if int(sinfo) != 0:
-                info = Error.DID_NOT_CONVERGE
-                break
-            ihi = l
-            continue
-
-        # ---- AED ----
-        w = min(WA, conf.aed_window_size, seg - 1)
-        kwtop = ihi - w
-        Wb = bucket_of(w)
-        if use_host and w <= HOST_RECURSE_MIN:
-            # one host codelet = window Schur + spike deflation + shift
-            # extraction + recondense (reference: aggressively_deflate task,
-            # schur/tasks.c:256 -> cpu_utils.c:2837) — a single D2H/H2D
-            # round trip per AED round
-            WIN = np.asarray(_grab_window(Spad, kwtop, w, P, Wb))
-            s_host = float(WIN[0, 0])
-            Tn, Vn, kbot_i, er_w, ei_w, beta_f, sinfo = nk.aed(
-                WIN[:w, 1:w + 1], s_host, thresh)
-            if sinfo != 0:
-                info = Error.DID_NOT_CONVERGE
-                break
-            nd = w - kbot_i
-            Tb = np.zeros((Wb, Wb))
-            Tb[:w, :w] = Tn
-            Vb = np.eye(Wb)
-            Vb[:w, :w] = Vn
-            Tw, Vw = jnp.asarray(Tb), jnp.asarray(Vb)
-            beta = jnp.asarray(beta_f, dtype)
-        else:
-            win = _masked_window(Spad, kwtop, w, P, Wb)
-            s_spike = Spad[P + kwtop, P + kwtop - 1]
-            Tw, Vw, sinfo = _solve_window(win, w, thresh, eyes[Wb], _depth,
-                                          None)
-            Tw, Vw, kbot, dfail = _aed_deflate(Tw, Vw, s_spike, w, thresh)
-            kbot_i = int(kbot)
-            nd = w - kbot_i
-            # shifts come from the undeflated diagonal *before* recondense
-            er_w, ei_w = extract_eigenvalues(Tw)
-            er_w = np.asarray(er_w)[:kbot_i]
-            ei_w = np.asarray(ei_w)[:kbot_i]
-            if kbot_i > 0:
-                Tw, Vw, beta = _aed_recondense(Tw, Vw, s_spike, kbot)
-            else:
-                beta = jnp.zeros((), dtype)
-        Spad, Qpad = _apply_window_transform(
-            Spad, Qpad, Vw, Tw, w, kwtop, True, beta, P=P, W=Wb,
-            wb=_bucket(NP - (P + kwtop - 1), NP),
-            hb=_bucket(P + kwtop + Wb, NP))
-        ihi -= nd
-
-        if nd > 0 and 100 * nd >= conf.aed_nibble * w:
-            continue  # plenty of deflation: go straight to another AED round
-        if ihi - l <= 2:
-            continue
-
-        ns = min(conf.aed_shift_count, max(2, (kbot_i // 2) * 2))
-        pairs = _pair_shifts(er_w, ei_w, ns)
-        if not pairs:
-            h = float(Spad[P + ihi - 1, P + ihi - 2])
-            d0 = float(Spad[P + ihi - 1, P + ihi - 1])
-            pairs = [(d0 + 0.75 * abs(h), 0.0, d0 + 0.75 * abs(h), 0.0)]
-
-        for base in range(0, len(pairs), B):
-            chunk = pairs[base:base + B]
-            arr = np.zeros((B, 4))
-            arr[:len(chunk)] = np.array(chunk)
-            if len(chunk) < B:
-                # duplicate shifts are still valid shifts — a shorter train
-                # is emulated by replicating the last pair
-                arr[len(chunk):] = arr[len(chunk) - 1]
+        for t in range(ntr):
+            sh = shifts[t]                # (B, 4) stays on device
             Spad, Qpad = _sweep_batch_windowed(
-                Spad, Qpad, P + l, P + ihi,
-                jnp.asarray(arr[:, 0], dtype), jnp.asarray(arr[:, 1], dtype),
-                jnp.asarray(arr[:, 2], dtype), jnp.asarray(arr[:, 3], dtype),
-                B=B, eyeWC=eyeWC)
+                Spad, Qpad, P + l, P + new_ihi,
+                sh[:, 0], sh[:, 1], sh[:, 2], sh[:, 3], B=B, eyeWC=eyeWC)
+        ihi = new_ihi
 
     S = lax.dynamic_slice(Spad, (P, P), (n, n))
     Qf = lax.dynamic_slice(Qpad, (0, P), (n, n))

@@ -74,14 +74,20 @@ def _shifts(H, i, its):
 def _sweep(Hp, Zp, l, i, sr1, si1, sr2, si2):
     """One double-shift bulge chase over the active block [l, i] (inclusive).
 
-    Static-bound masked loop: step t corresponds to column k = l + t,
-    inactive steps (k >= i) are exact no-ops.
+    Dynamic-bound ``while_loop``: step t corresponds to column k = l + t and
+    the loop exits at k == i, so shrinking active blocks cost proportionally
+    less (the reference's scalar kernel naturally has the same property,
+    cpu_utils.c:1309).
     """
     wp = Hp.shape[0]
     w = Zp.shape[0]
 
-    def step(t, carry):
-        Hp, Zp = carry
+    def step_cond(carry):
+        t, Hp, Zp = carry
+        return l + t <= i - 1
+
+    def step(carry):
+        t, Hp, Zp = carry
         k_real = l + t
         active = k_real <= i - 1
         k = jnp.where(active, k_real, jnp.int32(0))
@@ -117,9 +123,9 @@ def _sweep(Hp, Zp, l, i, sr1, si1, sr2, si2):
         sums = zc @ v
         zc = zc - tau * jnp.outer(sums, v)
         Zp = lax.dynamic_update_slice(Zp, zc, (k * 0, k))
-        return Hp, Zp
+        return t + 1, Hp, Zp
 
-    Hp, Zp = lax.fori_loop(0, w, step, (Hp, Zp))
+    _, Hp, Zp = lax.while_loop(step_cond, step, (jnp.int32(0), Hp, Zp))
     return Hp, Zp
 
 

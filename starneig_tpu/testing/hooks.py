@@ -12,9 +12,11 @@ from __future__ import annotations
 
 import numpy as np
 
+# the reference scales by 2^52, i.e. u = eps = 2^-52 for f64
+# (checks.c:190,204: ((long long)1<<52) * norm ratio)
 UNIT_ROUNDOFF = {
-    np.dtype(np.float64): np.finfo(np.float64).eps / 2,
-    np.dtype(np.float32): np.finfo(np.float32).eps / 2,
+    np.dtype(np.float64): np.finfo(np.float64).eps,
+    np.dtype(np.float32): np.finfo(np.float32).eps,
 }
 
 RESIDUAL_WARN = 500.0
@@ -43,10 +45,10 @@ def residual_gep(A, B, S, T, Q, Z):
 
 
 def orthogonality(Q) -> float:
-    """||Q Q^T - I||_F in units of u (checks.c:196)."""
+    """||Q Q^T - I||_F / sqrt(n) in units of u (checks.c:196-204)."""
     Q = np.asarray(Q)
     n = Q.shape[0]
-    r = np.linalg.norm(Q @ Q.T - np.eye(n, dtype=Q.dtype))
+    r = np.linalg.norm(Q @ Q.T - np.eye(n, dtype=Q.dtype)) / np.sqrt(n)
     return float(r / _u(Q.dtype))
 
 
