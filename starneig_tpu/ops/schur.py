@@ -66,35 +66,23 @@ def _zero_negligible(S, ihi, thresh):
     return S, jnp.concatenate([newsub, jnp.zeros((1,), S.dtype)])
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("P",))
-def _zero_negligible_pad(Spad, ihi, thresh, P: int):
-    n = Spad.shape[0] - 2 * P
-    S = lax.dynamic_slice(Spad, (P, P), (n, n))
-    S, sub = _zero_negligible(S, ihi, thresh)
-    Spad = lax.dynamic_update_slice(Spad, S, (P, P))
-    return Spad, sub
-
-
-@functools.partial(jax.jit, static_argnames=("P", "W"))
-def _masked_window(Spad, pos, m, P: int, W: int):
-    """Extract the W x W window at global pos, zeroed outside the m x m block."""
-    win = lax.dynamic_slice(Spad, (P + pos, P + pos), (W, W))
-    r = jnp.arange(W)
-    act = (r[:, None] < m) & (r[None, :] < m)
-    return jnp.where(act, win, 0.0)
-
-
-@functools.partial(jax.jit, static_argnames=("P", "W"))
-def _grab_window(Spad, pos, m, P: int, W: int):
-    """Masked window plus its spike column in ONE array (one D2H transfer).
-
-    Returns (W, W+1): column 0 is Spad[P+pos : P+pos+W, P+pos-1] (the spike
-    coupling into the window), columns 1..W the masked window.
+def _pair_shifts(er: np.ndarray, ei: np.ndarray, ns: int):
+    """Pick up to ns shifts (conjugate-pair aligned) from eigenvalue arrays,
+    taking trailing (bottom) eigenvalues first (LAPACK/reference convention).
     """
-    blk = lax.dynamic_slice(Spad, (P + pos, P + pos - 1), (W, W + 1))
-    r = jnp.arange(W)
-    act = (r[:, None] < m) & (jnp.arange(W + 1)[None, :] - 1 < m)
-    return jnp.where(act | (jnp.arange(W + 1)[None, :] == 0), blk, 0.0)
+    pairs = []
+    reals = []
+    i = len(er) - 1
+    while i >= 0 and 2 * (len(pairs) + len(reals) // 2) < ns:
+        if ei[i] != 0.0 and i >= 1 and ei[i - 1] == -ei[i]:
+            pairs.append((er[i], ei[i], er[i - 1], ei[i - 1]))
+            i -= 2
+        else:
+            reals.append(er[i])
+            i -= 1
+    for j in range(0, len(reals) - 1, 2):
+        pairs.append((reals[j], 0.0, reals[j + 1], 0.0))
+    return pairs
 
 
 @jax.jit
@@ -295,147 +283,6 @@ def _aed_recondense(Tw, Vw, s, kbot):
     return Tw, Vw, beta
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("P", "W", "wb", "hb"))
-def _apply_window_transform(Spad, Qpad, Vw, Tw, active_m, pos, spike, beta,
-                            P: int, W: int, wb: int = 0, hb: int = 0):
-    """Apply a window transform Vw at global position pos (unpadded coords).
-
-    Vw is (W, W), identity beyond the active block; the window content is
-    replaced by Tw on the active m x m part; when ``spike`` is True the
-    column pos-1 over the window rows is planted as beta*e1.
-
-    ``wb``/``hb`` (static, bucketed; 0 = full) bound the off-window GEMMs to
-    columns [NP-wb, NP) >= pos-1 and rows [0, hb) >= pos+W — exact for the
-    Hessenberg structure outside the window (see _apply_hop).
-    """
-    NP = Spad.shape[0]
-    gp = P + pos
-    wb = wb or NP
-    hb = hb or NP
-    c0 = NP - wb
-    rows = lax.dynamic_slice(Spad, (gp, c0), (W, wb))
-    Spad = lax.dynamic_update_slice(Spad, Vw.T @ rows, (gp, c0))
-    cols = lax.dynamic_slice(Spad, (gp * 0, gp), (hb, W))
-    Spad = lax.dynamic_update_slice(Spad, cols @ Vw, (gp * 0, gp))
-    blk = lax.dynamic_slice(Spad, (gp, gp), (W, W))
-    r = jnp.arange(W)
-    act = (r[:, None] < active_m) & (r[None, :] < active_m)
-    Spad = lax.dynamic_update_slice(Spad, jnp.where(act, Tw, blk), (gp, gp))
-    old = lax.dynamic_slice(Spad, (gp, gp - 1), (W, 1))
-    spk = jnp.where(r[:, None] == 0, beta, 0.0)
-    Spad = lax.dynamic_update_slice(
-        Spad, jnp.where(spike, spk, old), (gp, gp - 1))
-    qc = lax.dynamic_slice(Qpad, (gp * 0, gp), (Qpad.shape[0], W))
-    Qpad = lax.dynamic_update_slice(Qpad, qc @ Vw, (gp * 0, gp))
-    return Spad, Qpad
-
-
-# ---------------------------------------------------------------------------
-# batched multishift sweep
-# ---------------------------------------------------------------------------
-
-SWEEP_CHUNK = 512
-
-
-def _sweep_batch(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int):
-    """Chase B bulges (2B shifts) from the top of [l, ihi) off the bottom.
-
-    l/ihi are *Python ints* in padded coordinates; the chase dispatches
-    ceil(steps / SWEEP_CHUNK) jitted fixed-size chunks asynchronously (the
-    step count is known up front, so no host synchronization is needed).
-    """
-    steps = (ihi - l) - 2 + 3 * (B - 1) + 1
-    for s0 in range(0, steps, SWEEP_CHUNK):
-        Spad, Qpad = _sweep_chunk(Spad, Qpad, l, ihi, jnp.int32(s0),
-                                  sr1, si1, sr2, si2, B=B)
-    return Spad, Qpad
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("B",))
-def _sweep_chunk(Spad, Qpad, l, ihi, s0, sr1, si1, sr2, si2, B: int):
-    """SWEEP_CHUNK masked train-advance steps starting at step s0.
-
-    Every step advances the whole train one row: the train occupies 3B
-    contiguous rows, all reflectors are disjoint and applied as batched
-    rank-1 updates.
-    """
-    NP = Spad.shape[0]
-    nq = Qpad.shape[0]
-    bidx = jnp.arange(B)
-
-    seg = ihi - l
-    steps = seg - 2 + 3 * (B - 1) + 1
-
-    def step(t, carry):
-        s = s0 + t
-        Spad, Qpad = carry
-        in_range = s < steps
-        k = (l + s - 3 * bidx).astype(jnp.int32)   # (B,) bulge columns
-        k = jnp.where(in_range, k, l)              # safe indices when masked
-        active = in_range & (k >= l) & (k <= ihi - 2) & (l + s - 3 * bidx == k)
-        intro = active & (l + s - 3 * bidx == l)
-        use3 = k <= ihi - 3
-
-        def gather_col(ki):
-            return lax.dynamic_slice(
-                Spad, (ki, jnp.maximum(ki - 1, 0)), (3, 1))[:, 0]
-
-        cols3 = jax.vmap(gather_col)(k)            # (B, 3)
-
-        blk = lax.dynamic_slice(Spad, (l, l), (3, 3))
-        intro_cols = jax.vmap(
-            lambda a, b, c, d, u: prim.first_column_shifted(blk, a, b, c, d, u)
-        )(sr1, si1, sr2, si2, use3)                # (B, 3)
-
-        x = jnp.where(intro[:, None], intro_cols, cols3)
-        mask = jnp.stack([jnp.ones_like(use3), jnp.ones_like(use3), use3], axis=1)
-        v, tau, beta = jax.vmap(prim.householder)(x, mask)
-        tau = jnp.where(active, tau, 0.0)
-
-        # train block rows [lo, lo+3B): bulge i sits at offset 3*(B-1-i)
-        lo = jnp.where(in_range, l + s - 3 * (B - 1), l)
-        vs = v[::-1]
-        taus = tau[::-1]
-        R = lax.dynamic_slice(Spad, (lo, lo * 0), (3 * B, NP)).reshape(B, 3, NP)
-        w = jnp.einsum("bi,bin->bn", vs, R)
-        R = R - taus[:, None, None] * vs[:, :, None] * w[:, None, :]
-        Spad = lax.dynamic_update_slice(Spad, R.reshape(3 * B, NP), (lo, lo * 0))
-
-        # exact bulge-column entries: S[k, k-1] = beta, below = 0 (chase only).
-        # This MUST sit between the left and the right updates: the next
-        # bulge's right update legitimately modifies these entries afterwards
-        # (left/right multiplications commute, so all-left -> plant ->
-        # all-right reproduces the sequential per-bulge order exactly).
-        # The touched entries all live in the (3B, 3B+1) block at
-        # (lo, lo-1) — scatter on that small block, not the full matrix
-        # (full-matrix scatters copy the whole buffer per step).
-        fix = active & ~intro
-        F = lax.dynamic_slice(Spad, (lo, lo - 1), (3 * B, 3 * B + 1))
-        rrel = k - lo                      # (B,) rows of the bulge tips
-        crel = k - lo                      # col (k-1) - (lo-1) == k - lo
-        r1 = jnp.minimum(rrel + 1, 3 * B - 1)
-        r2 = jnp.minimum(rrel + 2, 3 * B - 1)
-        F = F.at[rrel, crel].set(jnp.where(fix, beta, F[rrel, crel]))
-        F = F.at[r1, crel].set(jnp.where(fix, 0.0, F[r1, crel]))
-        F = F.at[r2, crel].set(jnp.where(fix & use3, 0.0, F[r2, crel]))
-        Spad = lax.dynamic_update_slice(Spad, F, (lo, lo - 1))
-
-        C = lax.dynamic_slice(Spad, (lo * 0, lo), (NP, 3 * B)).reshape(NP, B, 3)
-        wc = jnp.einsum("nbi,bi->nb", C, vs)
-        C = C - taus[None, :, None] * wc[:, :, None] * vs[None, :, :]
-        Spad = lax.dynamic_update_slice(Spad, C.reshape(NP, 3 * B), (lo * 0, lo))
-
-        Zc = lax.dynamic_slice(Qpad, (lo * 0, lo), (nq, 3 * B)).reshape(nq, B, 3)
-        wz = jnp.einsum("nbi,bi->nb", Zc, vs)
-        Zc = Zc - taus[None, :, None] * wz[:, :, None] * vs[None, :, :]
-        Qpad = lax.dynamic_update_slice(Qpad, Zc.reshape(nq, 3 * B), (lo * 0, lo))
-        return Spad, Qpad
-
-    Spad, Qpad = lax.fori_loop(0, SWEEP_CHUNK, step, (Spad, Qpad))
-    return Spad, Qpad
-
-
 # ---------------------------------------------------------------------------
 # windowed multishift sweep: the train chases inside a small window with an
 # accumulated local Qw; off-window rows/columns update per hop as GEMMs
@@ -518,120 +365,46 @@ def _train_hop(Wnd, Qw, sr1, si1, sr2, si2, l_rel, ihi_rel, s0,
     return Wnd, Qw
 
 
-UPDATE_BUCKET = 512  # granularity of bucketed off-window GEMM extents
+def _sweep_traced(Spad, Qpad, eyeWC, l, ihi, sh, B: int):
+    """Chase one B-bulge train across padded range [l, ihi) — fully traced.
 
-
-def _bucket(extent: int, cap: int) -> int:
-    """Round extent up to the bucket grid (static shapes, few compiles)."""
-    return min(cap, ((max(extent, 1) + UPDATE_BUCKET - 1)
-                     // UPDATE_BUCKET) * UPDATE_BUCKET)
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("WC", "wb", "hb"))
-def _apply_hop(Spad, Qpad, Wout, Qw, ws, WC: int, wb: int, hb: int):
-    """Apply the hop's window transform to the full matrices.
-
-    Left rows over the columns right of the window, right columns over the
-    rows above the window end, then the exact window block (with its
-    planted zeros) overwrites the overlap.  ``wb``/``hb`` are static
-    bucketed extents covering [ws-1, NP) columns and [0, ws+WC) rows — the
-    excluded regions are exactly zero for a Hessenberg matrix (row r has
-    support only on columns >= r-1), so restricting the GEMMs is exact and
-    removes the ~2x flop overhead of full-width updates (the reference's
-    per-tile update tasks do the same by skipping zero tiles,
-    tiles.c:164-217).
+    ``l``/``ihi`` are traced scalars in padded coordinates, ``sh`` a (B, 4)
+    shift tensor.  The train advances in hops of 3B rows: each hop extracts
+    the (WC, WC) diagonal window one column left of the train block, runs
+    3B in-window steps (:func:`_train_hop`, accumulating the local Qw), and
+    applies Qw to the off-window rows/columns and Q at full width — exact,
+    since Qw is identity outside the rows the train touched, and the
+    flop-rich GEMMs are where the TPU is fastest (the reference's separate
+    per-tile update tasks, schur/core.c:129-308, exist to feed a CPU task
+    pool; one wide GEMM per hop feeds the MXU better).  The final partial
+    hop runs masked steps past the end — a no-op by the step masks.
     """
-    NP = Spad.shape[0]
-    nq = Qpad.shape[0]
-    c0 = NP - wb
-    rows = lax.dynamic_slice(Spad, (ws, c0), (WC, wb))
-    Spad = lax.dynamic_update_slice(Spad, Qw.T @ rows, (ws, c0))
-    cols = lax.dynamic_slice(Spad, (ws * 0, ws), (hb, WC))
-    Spad = lax.dynamic_update_slice(Spad, cols @ Qw, (ws * 0, ws))
-    Spad = lax.dynamic_update_slice(Spad, Wout, (ws, ws))
-    qc = lax.dynamic_slice(Qpad, (ws * 0, ws), (nq, WC))
-    Qpad = lax.dynamic_update_slice(Qpad, qc @ Qw, (ws * 0, ws))
-    return Spad, Qpad
-
-
-HOP_GROUP = 8   # hops fused per device dispatch (static trip count)
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("B", "WC", "wb", "hb", "nh"))
-def _hop_group(Spad, Qpad, eyeWC, sr1, si1, sr2, si2, l, ihi, s00, ws00,
-               B: int, WC: int, wb: int, hb: int, nh: int):
-    """``nh`` full hops fused into one device program.
-
-    Each hop h starts at step s00 + h*3B with window start ws00 + h*3B; the
-    off-window updates use the group-conservative static buckets wb/hb
-    (columns [NP-wb, NP), rows [0, hb)) — exact for Hessenberg structure.
-    Fusing hops removes the per-dispatch latency that dominates the sweep
-    on a tunneled device (one dispatch per ~3B*nh chased rows instead of
-    two per 3B rows).
-    """
+    WC = eyeWC.shape[0]               # 6*B + 4
     NP = Spad.shape[0]
     nq = Qpad.shape[0]
     HOP = 3 * B
-    c0 = jnp.int32(NP - wb)
+    steps = (ihi - l) - 2 + 3 * (B - 1) + 1
+    nh = (steps + HOP - 1) // HOP
+    sr1, si1, sr2, si2 = sh[:, 0], sh[:, 1], sh[:, 2], sh[:, 3]
 
-    def hop(h, carry):
-        Spad, Qpad = carry
-        s0 = s00 + h * HOP
-        ws = ws00 + h * HOP
+    def hop_body(carry):
+        h, Spad, Qpad = carry
+        s0 = h * HOP
+        ws = l + s0 - 3 * (B - 1) - 1
         Wnd = lax.dynamic_slice(Spad, (ws, ws), (WC, WC))
         Wnd2, Qw = _train_hop(Wnd, eyeWC, sr1, si1, sr2, si2,
                               l - ws, ihi - ws, s0, B=B, WC=WC, HOP=HOP)
-        rows = lax.dynamic_slice(Spad, (ws, c0), (WC, wb))
-        Spad = lax.dynamic_update_slice(Spad, Qw.T @ rows, (ws, c0))
-        cols = lax.dynamic_slice(Spad, (ws * 0, ws), (hb, WC))
+        rows = lax.dynamic_slice(Spad, (ws, ws * 0), (WC, NP))
+        Spad = lax.dynamic_update_slice(Spad, Qw.T @ rows, (ws, ws * 0))
+        cols = lax.dynamic_slice(Spad, (ws * 0, ws), (NP, WC))
         Spad = lax.dynamic_update_slice(Spad, cols @ Qw, (ws * 0, ws))
         Spad = lax.dynamic_update_slice(Spad, Wnd2, (ws, ws))
         qc = lax.dynamic_slice(Qpad, (ws * 0, ws), (nq, WC))
         Qpad = lax.dynamic_update_slice(Qpad, qc @ Qw, (ws * 0, ws))
-        return Spad, Qpad
+        return h + 1, Spad, Qpad
 
-    return lax.fori_loop(0, nh, hop, (Spad, Qpad))
-
-
-def _sweep_batch_windowed(Spad, Qpad, l, ihi, sr1, si1, sr2, si2, B: int,
-                          eyeWC):
-    """Chase one B-bulge train across [l, ihi) via windowed hops.
-
-    l/ihi are Python ints in padded coordinates; full hops dispatch in
-    fused groups of HOP_GROUP, the remainder per hop — everything
-    asynchronously (step counts known up front).
-    """
-    HOP = 3 * B
-    WC = eyeWC.shape[0]               # 6*B + 4
-    NP = Spad.shape[0]
-    steps = (ihi - l) - 2 + 3 * (B - 1) + 1
-    s0 = 0
-    # fused full-hop groups
-    while steps - s0 >= HOP * HOP_GROUP:
-        ws_first = l + s0 - 3 * (B - 1) - 1
-        ws_last = ws_first + (HOP_GROUP - 1) * HOP
-        wb = _bucket(NP - (ws_first - 1), NP)
-        hb = _bucket(ws_last + WC, NP)
-        Spad, Qpad = _hop_group(
-            Spad, Qpad, eyeWC, sr1, si1, sr2, si2, jnp.int32(l),
-            jnp.int32(ihi), jnp.int32(s0), jnp.int32(ws_first),
-            B=B, WC=WC, wb=wb, hb=hb, nh=HOP_GROUP)
-        s0 += HOP * HOP_GROUP
-    # per-hop tail (includes the final partial hop)
-    while s0 < steps:
-        hop = min(HOP, steps - s0)
-        # window start: one column left of the train block's lowest row
-        ws = l + s0 - 3 * (B - 1) - 1
-        Wnd = lax.dynamic_slice(Spad, (ws, ws), (WC, WC))
-        Wnd2, Qw = _train_hop(Wnd, eyeWC, sr1, si1, sr2, si2,
-                              jnp.int32(l - ws), jnp.int32(ihi - ws),
-                              jnp.int32(s0), B=B, WC=WC, HOP=HOP)
-        wb = _bucket(NP - (ws - 1), NP)
-        hb = _bucket(ws + WC, NP)
-        Spad, Qpad = _apply_hop(Spad, Qpad, Wnd2, Qw, ws, WC=WC, wb=wb, hb=hb)
-        s0 += hop
+    _, Spad, Qpad = lax.while_loop(lambda c: c[0] < nh, hop_body,
+                                   (jnp.int32(0), Spad, Qpad))
     return Spad, Qpad
 
 
@@ -700,20 +473,17 @@ def _pack_shifts(er, ei, Tw, kbot, NS: int, B: int, TMAX: int):
 # device-resident AED round
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("P", "WA", "NS", "B", "TMAX", "nibble"))
 def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
                P: int, WA: int, NS: int, B: int, TMAX: int, nibble: int):
-    """One full AED round, entirely on device (ONE small D2H per round).
+    """One full AED round — a traced building block of the fused driver.
 
     Performs: negligible-subdiagonal zeroing, converged-block peel, segment
     scan, AED window Schur solve (Francis), spike deflation with block
     moves, shift extraction + packing, window recondense, and the
     off-window GEMM application of the window transform.  This fuses what
     the reference spreads over the segment state machine's NEW -> AED_* ->
-    BULGES transitions (schur/core.c:1878-2293) into one dispatch; the
-    host reads back only a 6-int status vector to schedule the bulge-chase
-    sweeps (whose extents it needs as Python ints for bucketed dispatch).
+    BULGES transitions (schur/core.c:1878-2293) into straight-line traced
+    code inside the one-dispatch driver program (:func:`_schur_fused`).
 
     Returns (Spad, Qpad, shifts(TMAX,B,4), status(6,) int32) with status =
     [new_ihi, l, ntr, fail, nd, npairs].
@@ -821,23 +591,62 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
 # driver
 # ---------------------------------------------------------------------------
 
-def _pair_shifts(er: np.ndarray, ei: np.ndarray, ns: int):
-    """Pick up to ns shifts (conjugate-pair aligned) from eigenvalue arrays,
-    taking trailing (bottom) eigenvalues first (LAPACK/reference convention).
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("P", "WA", "NS", "B", "TMAX", "nibble",
+                                    "itmax"))
+def _schur_fused(Spad, Qpad, thresh, eyeW, eyeWC,
+                 P: int, WA: int, NS: int, B: int, TMAX: int, nibble: int,
+                 itmax: int):
+    """The whole multishift-QR iteration as ONE device program.
+
+    A ``lax.while_loop`` over AED rounds: each round runs the fused AED
+    block (:func:`_aed_round`) and then up to TMAX bulge-chase trains
+    (:func:`_sweep_traced`) with the shifts the round extracted.  No
+    host<->device traffic at all until the final Schur form comes back —
+    the reference's asynchronous segment state machine (schur/core.c:
+    2295-2336) exists to hide task latency on a CPU pool; on TPU the same
+    control flow is scalar work the device itself executes between GEMMs.
+
+    Returns (Spad, Qpad, info) with info 0 on success, 1 on failed
+    convergence (iteration limit or window-solve failure).
     """
-    pairs = []
-    reals = []
-    i = len(er) - 1
-    while i >= 0 and 2 * (len(pairs) + len(reals) // 2) < ns:
-        if ei[i] != 0.0 and i >= 1 and ei[i - 1] == -ei[i]:
-            pairs.append((er[i], ei[i], er[i - 1], ei[i - 1]))
-            i -= 2
-        else:
-            reals.append(er[i])
-            i -= 1
-    for j in range(0, len(reals) - 1, 2):
-        pairs.append((reals[j], 0.0, reals[j + 1], 0.0))
-    return pairs
+    n = Spad.shape[0] - 2 * P
+
+    def cond(st):
+        Spad, Qpad, ihi, it_seg, last_ihi, fail, rounds = st
+        return (ihi > 0) & (~fail) & (rounds < 2 * n + 10)
+
+    def body(st):
+        Spad, Qpad, ihi, it_seg, last_ihi, fail, rounds = st
+        Spad, Qpad, shifts, status = _aed_round(
+            Spad, Qpad, ihi, thresh, eyeW,
+            P=P, WA=WA, NS=NS, B=B, TMAX=TMAX, nibble=nibble)
+        new_ihi, l, ntr, sfail, nd, npairs = (status[i] for i in range(6))
+        it_seg = jnp.where(new_ihi != last_ihi, 0, it_seg) + 1
+        fail = (sfail != 0) | (it_seg > itmax)
+
+        def sweeps(ops):
+            Spad, Qpad = ops
+
+            def train(t, c):
+                Spad, Qpad = c
+                return lax.cond(
+                    t < ntr,
+                    lambda S, Q: _sweep_traced(S, Q, eyeWC, P + l,
+                                               P + new_ihi, shifts[t], B=B),
+                    lambda S, Q: (S, Q), Spad, Qpad)
+
+            return lax.fori_loop(0, TMAX, train, (Spad, Qpad))
+
+        Spad, Qpad = lax.cond((ntr > 0) & (~fail), sweeps,
+                              lambda ops: ops, (Spad, Qpad))
+        return (Spad, Qpad, jnp.where(fail, ihi, new_ihi), it_seg,
+                new_ihi, fail, rounds + 1)
+
+    st = (Spad, Qpad, jnp.int32(n), jnp.int32(0), jnp.int32(n),
+          jnp.bool_(False), jnp.int32(0))
+    Spad, Qpad, ihi, _, _, fail, _ = lax.while_loop(cond, body, st)
+    return Spad, Qpad, fail.astype(jnp.int32)
 
 
 def _resolve_threshold(H, conf, dtype):
@@ -861,28 +670,30 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     given) is accumulated on the right, eigenvalues are extracted from the
     final Schur form.
 
-    Architecture (TPU-native, round 2): each AED round — deflation scan,
-    window Schur solve, spike deflation, shift extraction, recondense, and
-    the window-transform GEMMs — executes as ONE device dispatch
-    (:func:`_aed_round`); the host reads back a 6-int status per round and
-    schedules the windowed bulge-chase sweeps with statically bucketed
-    update extents.  Device<->host traffic is one ~24-byte transfer per
-    round instead of the reference's per-task status polling
-    (schur/core.c:2295-2336); all numerics are f64 on device.
+    Architecture (TPU-native, round 3): the ENTIRE iteration — every AED
+    round (deflation scan, window Schur solve, spike deflation, shift
+    extraction, recondense, window-transform GEMMs) and every bulge-chase
+    sweep — executes as ONE jitted device program (:func:`_schur_fused`)
+    with zero host round-trips; the host gets back the finished Schur
+    form.  One program also means one compilation per (n, geometry,
+    dtype), amortized by the persistent compilation cache — on a tunneled
+    TPU, compiles and dispatch latency dominate wall-clock, not flops.
 
     Consumed expert knobs (reference expert.h:198-361): ``aed_window_size``
     (AED window), ``aed_shift_count`` (shifts per sweep),
     ``shifts_per_window``/``window_size`` (bulges per train B =
     shifts_per_window/2, chase window 6B+4 ~= window_size),
-    ``update_width``/``update_height`` (off-window GEMM bucket granularity),
     ``aed_nibble``, ``iteration_limit``, and the deflation criteria.
+    ``update_width``/``update_height`` are accepted but unused: off-window
+    updates run at full width — on the MXU the wide GEMM is faster than
+    any tiling the knobs could express.
 
     Returns:
       (S, Q, eig_real, eig_imag, info) with info == Error.SUCCESS or
       Error.DID_NOT_CONVERGE (outputs then hold a partially reduced,
       still-similar matrix — reference error semantics, error.h:105-111).
     """
-    del _depth  # recursion now lives inside the device AED round
+    del _depth  # recursion lives inside the device AED round
     H = jnp.asarray(H)
     n = H.shape[0]
     dtype = H.dtype
@@ -908,9 +719,6 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     P = max(3 * B + 4, WC + 2, WA) + 2
     NP = n + 2 * P
 
-    global UPDATE_BUCKET
-    UPDATE_BUCKET = max(256, (conf.update_width + 255) // 256 * 256)
-
     Spad = jnp.zeros((NP, NP), dtype)
     Spad = lax.dynamic_update_slice(Spad, H, (P, P))
     Qpad = jnp.zeros((n, NP), dtype)
@@ -921,38 +729,10 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     eyeW = jnp.eye(WA, dtype=dtype)
     eyeWC = jnp.eye(WC, dtype=dtype)
 
-    info = Error.SUCCESS
-    ihi = n
-    it_seg = 0
-    last_ihi = ihi
-
-    while ihi > 0:
-        Spad, Qpad, shifts, status = _aed_round(
-            Spad, Qpad, jnp.int32(ihi), thresh, eyeW,
-            P=P, WA=WA, NS=NS, B=B, TMAX=TMAX, nibble=conf.aed_nibble)
-        st = np.asarray(status)           # the round's one small D2H
-        new_ihi, l, ntr, sfail, nd, _npairs = (int(v) for v in st)
-        if sfail:
-            info = Error.DID_NOT_CONVERGE
-            ihi = new_ihi
-            break
-        if new_ihi <= 0:
-            ihi = 0
-            break
-        if new_ihi != last_ihi:
-            it_seg = 0
-            last_ihi = new_ihi
-        it_seg += 1
-        if it_seg > conf.iteration_limit:
-            info = Error.DID_NOT_CONVERGE
-            ihi = new_ihi
-            break
-        for t in range(ntr):
-            sh = shifts[t]                # (B, 4) stays on device
-            Spad, Qpad = _sweep_batch_windowed(
-                Spad, Qpad, P + l, P + new_ihi,
-                sh[:, 0], sh[:, 1], sh[:, 2], sh[:, 3], B=B, eyeWC=eyeWC)
-        ihi = new_ihi
+    Spad, Qpad, fail = _schur_fused(
+        Spad, Qpad, thresh, eyeW, eyeWC, P=P, WA=WA, NS=NS, B=B,
+        TMAX=TMAX, nibble=conf.aed_nibble, itmax=conf.iteration_limit)
+    info = Error.DID_NOT_CONVERGE if int(fail) else Error.SUCCESS
 
     S = lax.dynamic_slice(Spad, (P, P), (n, n))
     Qf = lax.dynamic_slice(Qpad, (0, P), (n, n))
