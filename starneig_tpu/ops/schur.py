@@ -47,23 +47,100 @@ from starneig_tpu.ops.eigvals import extract_eigenvalues
 
 
 # ---------------------------------------------------------------------------
-# vectorized deflation test + final 2x2 standardization
+# extent-op strategies: every access the driver makes to the full matrix
+# extents goes through one of these.  ``DenseExtent`` operates on plain
+# padded arrays (single chip).  ``parallel/dm_core.py`` provides a sharded
+# strategy whose methods run inside ``shard_map`` with explicit collectives
+# — the same driver mathematics then executes distributed, mirroring the
+# reference's "same insert-tasks core, mpi != NULL" structure
+# (reference src/mpi/interface_schur.c:53-120).
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _zero_negligible(S, ihi, thresh):
-    """Zero negligible subdiagonal entries above row ihi; return S, subdiag."""
-    n = S.shape[0]
-    ulp = jnp.finfo(S.dtype).eps
-    d = jnp.diagonal(S)
-    sub = jnp.diagonal(S, offset=-1)
-    tst = jnp.abs(d[:-1]) + jnp.abs(d[1:])
-    idx = jnp.arange(n - 1)
-    neg = (jnp.abs(sub) <= jnp.maximum(ulp * tst, thresh)) & (idx + 1 < ihi)
-    newsub = jnp.where(neg, 0.0, sub)
-    r = jnp.arange(n)
-    S = S.at[r[1:], r[:-1]].set(newsub)
-    return S, jnp.concatenate([newsub, jnp.zeros((1,), S.dtype)])
+class DenseExtent:
+    """Full-extent ops on unsharded (NP, *) padded arrays."""
+
+    nshards = 1
+
+    @staticmethod
+    def mul_rows(S, i0, h, Qw):
+        """S[i0:i0+h, :] = Qw.T @ S[i0:i0+h, :] (h static)."""
+        rows = lax.dynamic_slice(S, (i0, i0 * 0), (h, S.shape[1]))
+        return lax.dynamic_update_slice(S, Qw.T @ rows, (i0, i0 * 0))
+
+    @staticmethod
+    def mul_cols(S, j0, w, Qw):
+        """S[:, j0:j0+w] = S[:, j0:j0+w] @ Qw (w static)."""
+        cols = lax.dynamic_slice(S, (j0 * 0, j0), (S.shape[0], w))
+        return lax.dynamic_update_slice(S, cols @ Qw, (j0 * 0, j0))
+
+    @staticmethod
+    def get_block(S, i0, j0, h, w):
+        return lax.dynamic_slice(S, (i0, j0), (h, w))
+
+    @staticmethod
+    def set_block(S, M, i0, j0):
+        return lax.dynamic_update_slice(S, M, (i0, j0))
+
+    # -- batched variants over G disjoint diagonal windows (the wavefront
+    # sweep): windows are disjoint by construction, so the per-window
+    # transforms commute and may be applied rows-first-all then cols --
+
+    @staticmethod
+    def get_diag_blocks(S, ws, w):
+        """(G,) window starts -> (G, w, w) diagonal blocks."""
+        return jax.vmap(lambda s: lax.dynamic_slice(S, (s, s), (w, w)))(ws)
+
+    @staticmethod
+    def set_diag_blocks(S, Ms, ws):
+        G, w = Ms.shape[0], Ms.shape[1]
+
+        def body(g, S):
+            return lax.dynamic_update_slice(S, Ms[g], (ws[g], ws[g]))
+
+        return lax.fori_loop(0, G, body, S)
+
+    @staticmethod
+    def mul_rows_batch(S, ws, w, Qws):
+        """S[ws_g:ws_g+w, :] = Qws[g].T @ rows for all g (disjoint)."""
+        R = jax.vmap(
+            lambda s: lax.dynamic_slice(S, (s, s * 0), (w, S.shape[1])))(ws)
+        R = jnp.einsum("gij,gjn->gin", jnp.swapaxes(Qws, 1, 2), R)
+
+        def body(g, S):
+            return lax.dynamic_update_slice(S, R[g], (ws[g], ws[g] * 0))
+
+        return lax.fori_loop(0, ws.shape[0], body, S)
+
+    @staticmethod
+    def mul_cols_batch(S, ws, w, Qws):
+        """S[:, ws_g:ws_g+w] @= Qws[g] for all g (disjoint)."""
+        C = jax.vmap(
+            lambda s: lax.dynamic_slice(S, (s * 0, s), (S.shape[0], w)))(ws)
+        C = jnp.einsum("gnj,gjk->gnk", C, Qws)
+
+        def body(g, S):
+            return lax.dynamic_update_slice(S, C[g], (ws[g] * 0, ws[g]))
+
+        return lax.fori_loop(0, ws.shape[0], body, S)
+
+    @staticmethod
+    def zero_negligible(Spad, P, n, ihi, thresh):
+        """Zero negligible subdiagonals above row ihi (inner coordinates).
+
+        Returns (Spad, sub) with sub the (n,) updated subdiagonal vector.
+        """
+        S = lax.dynamic_slice(Spad, (P, P), (n, n))
+        ulp = jnp.finfo(S.dtype).eps
+        d = jnp.diagonal(S)
+        sub = jnp.diagonal(S, offset=-1)
+        tst = jnp.abs(d[:-1]) + jnp.abs(d[1:])
+        idx = jnp.arange(n - 1)
+        neg = (jnp.abs(sub) <= jnp.maximum(ulp * tst, thresh)) & (idx + 1 < ihi)
+        newsub = jnp.where(neg, 0.0, sub)
+        r = jnp.arange(n)
+        S = S.at[r[1:], r[:-1]].set(newsub)
+        Spad = lax.dynamic_update_slice(Spad, S, (P, P))
+        return Spad, jnp.concatenate([newsub, jnp.zeros((1,), S.dtype)])
 
 
 def _pair_shifts(er: np.ndarray, ei: np.ndarray, ns: int):
@@ -365,7 +442,7 @@ def _train_hop(Wnd, Qw, sr1, si1, sr2, si2, l_rel, ihi_rel, s0,
     return Wnd, Qw
 
 
-def _sweep_traced(Spad, Qpad, eyeWC, l, ihi, sh, B: int):
+def _sweep_traced(Spad, Qpad, eyeWC, l, ihi, sh, B: int, ext=DenseExtent):
     """Chase one B-bulge train across padded range [l, ihi) — fully traced.
 
     ``l``/``ihi`` are traced scalars in padded coordinates, ``sh`` a (B, 4)
@@ -380,8 +457,6 @@ def _sweep_traced(Spad, Qpad, eyeWC, l, ihi, sh, B: int):
     hop runs masked steps past the end — a no-op by the step masks.
     """
     WC = eyeWC.shape[0]               # 6*B + 4
-    NP = Spad.shape[0]
-    nq = Qpad.shape[0]
     HOP = 3 * B
     steps = (ihi - l) - 2 + 3 * (B - 1) + 1
     nh = (steps + HOP - 1) // HOP
@@ -391,19 +466,79 @@ def _sweep_traced(Spad, Qpad, eyeWC, l, ihi, sh, B: int):
         h, Spad, Qpad = carry
         s0 = h * HOP
         ws = l + s0 - 3 * (B - 1) - 1
-        Wnd = lax.dynamic_slice(Spad, (ws, ws), (WC, WC))
+        Wnd = ext.get_block(Spad, ws, ws, WC, WC)
         Wnd2, Qw = _train_hop(Wnd, eyeWC, sr1, si1, sr2, si2,
                               l - ws, ihi - ws, s0, B=B, WC=WC, HOP=HOP)
-        rows = lax.dynamic_slice(Spad, (ws, ws * 0), (WC, NP))
-        Spad = lax.dynamic_update_slice(Spad, Qw.T @ rows, (ws, ws * 0))
-        cols = lax.dynamic_slice(Spad, (ws * 0, ws), (NP, WC))
-        Spad = lax.dynamic_update_slice(Spad, cols @ Qw, (ws * 0, ws))
-        Spad = lax.dynamic_update_slice(Spad, Wnd2, (ws, ws))
-        qc = lax.dynamic_slice(Qpad, (ws * 0, ws), (nq, WC))
-        Qpad = lax.dynamic_update_slice(Qpad, qc @ Qw, (ws * 0, ws))
+        Spad = ext.mul_rows(Spad, ws, WC, Qw)
+        Spad = ext.mul_cols(Spad, ws, WC, Qw)
+        Spad = ext.set_block(Spad, Wnd2, ws, ws)
+        Qpad = ext.mul_cols(Qpad, ws, WC, Qw)
         return h + 1, Spad, Qpad
 
     _, Spad, Qpad = lax.while_loop(lambda c: c[0] < nh, hop_body,
+                                   (jnp.int32(0), Spad, Qpad))
+    return Spad, Qpad
+
+
+# stagger between consecutive trains in the wavefront, in hops: windows of
+# neighboring trains are 3*HOP = 9B rows apart, > WC = 6B+4 for B >= 2, so
+# all active windows are disjoint
+_WAVE_STAG = 3
+
+
+def _sweep_wave(Spad, Qpad, eyeWC, l, ihi, shifts, ntr, G: int, B: int,
+                ext=DenseExtent):
+    """Chase up to G staggered B-bulge trains across [l, ihi) in ONE pass.
+
+    The TPU-native form of the reference's pipelined window chains
+    (schur/core.c:563-782): train g runs ``_WAVE_STAG`` hops behind train
+    g-1, so all active chase windows are disjoint and advance in lockstep —
+    the in-window kernels run vmapped and the off-window row/column strips
+    update batched.  A pass costs ``nh + 3 (ntr-1)`` serial hops instead of
+    ``ntr * nh`` (the round-2 sequential-train form), which is what the
+    latency-bound tunnel dispatch profile demands.
+
+    ``shifts`` is (G, B, 4); trains g >= ntr (and trains outside their hop
+    range) are masked: they run with an identity local transform against a
+    parking window inside the left padding (row 0; the pad guarantees no
+    overlap with any active window).
+
+    Disjointness makes the per-window similarity transforms commute, so
+    applying all row strips first and then all column strips is exact.
+    """
+    WC = eyeWC.shape[0]               # 6*B + 4
+    HOP = 3 * B
+    steps = (ihi - l) - 2 + 3 * (B - 1) + 1
+    nh = (steps + HOP - 1) // HOP     # hops for one train
+    total = nh + _WAVE_STAG * (jnp.maximum(ntr, 1) - 1)
+
+    def hop_body(carry):
+        h, Spad, Qpad = carry
+        g = jnp.arange(G, dtype=jnp.int32)
+        hg = h - _WAVE_STAG * g
+        active = (hg >= 0) & (hg < nh) & (g < ntr)
+        s0 = jnp.where(active, hg, 0) * HOP
+        # inactive trains park at ws=0 inside the left padding (all-zero
+        # rows/cols; P reserves WC rows for this) with an empty chase range
+        # (l_rel=1, ihi_rel=0) so every step masks to an exact no-op
+        ws = jnp.where(active, l + s0 - 3 * (B - 1) - 1, 0)
+        l_rel = jnp.where(active, l - ws, 1)
+        ihi_rel = jnp.where(active, ihi - ws, 0)
+
+        Wnds = ext.get_diag_blocks(Spad, ws, WC)
+        Wnd2, Qw = jax.vmap(
+            lambda Wnd, sh, lr, ir, s0g: _train_hop(
+                Wnd, eyeWC, sh[:, 0], sh[:, 1], sh[:, 2], sh[:, 3],
+                lr, ir, s0g, B=B, WC=WC, HOP=HOP),
+            in_axes=(0, 0, 0, 0, 0))(Wnds, shifts, l_rel, ihi_rel, s0)
+
+        Spad = ext.mul_rows_batch(Spad, ws, WC, Qw)
+        Spad = ext.mul_cols_batch(Spad, ws, WC, Qw)
+        Spad = ext.set_diag_blocks(Spad, Wnd2, ws)
+        Qpad = ext.mul_cols_batch(Qpad, ws, WC, Qw)
+        return h + 1, Spad, Qpad
+
+    _, Spad, Qpad = lax.while_loop(lambda c: c[0] < total, hop_body,
                                    (jnp.int32(0), Spad, Qpad))
     return Spad, Qpad
 
@@ -474,7 +609,8 @@ def _pack_shifts(er, ei, Tw, kbot, NS: int, B: int, TMAX: int):
 # ---------------------------------------------------------------------------
 
 def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
-               P: int, WA: int, NS: int, B: int, TMAX: int, nibble: int):
+               P: int, WA: int, NS: int, B: int, TMAX: int, nibble: int,
+               ext=DenseExtent):
     """One full AED round — a traced building block of the fused driver.
 
     Performs: negligible-subdiagonal zeroing, converged-block peel, segment
@@ -495,9 +631,7 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
     dtype = Spad.dtype
 
     # -- negligible-subdiagonal zeroing + converged-block peel --
-    S = lax.dynamic_slice(Spad, (P, P), (n, n))
-    S, sub = _zero_negligible(S, ihi, thresh)
-    Spad = lax.dynamic_update_slice(Spad, S, (P, P))
+    Spad, sub = ext.zero_negligible(Spad, P, n, ihi, thresh)
 
     def pcond(c):
         ih, again = c
@@ -529,11 +663,13 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
         kwtop = ihi - w
         gk = P + kwtop
 
-        win = lax.dynamic_slice(Spad, (gk, gk), (WA, WA))
+        win = ext.get_block(Spad, gk, gk, WA, WA)
         r = jnp.arange(WA)
         act = (r[:, None] < w) & (r[None, :] < w)
         win = jnp.where(act, win, 0.0)
-        s_spike = Spad[gk, gk - 1]        # exactly 0 when kwtop == l
+        # spike = subdiagonal entering the window; exactly 0 when kwtop == l
+        s_spike = jnp.where(kwtop >= 1,
+                            sub[jnp.clip(kwtop - 1, 0, n - 1)], 0.0)
 
         Tw, Vw, sinfo = small_schur(win, eyeW, w, thresh)
         sfail = sinfo != 0
@@ -549,24 +685,21 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
         # window transform applied at full extents (exact: Vw is identity
         # outside the active block); rows first, then columns see the
         # left-updated values, then the window block is planted exactly.
-        z0 = gk * 0
-        rows = lax.dynamic_slice(Spad, (gk, z0), (WA, NP))
-        Spad = lax.dynamic_update_slice(Spad, Vw.T @ rows, (gk, z0))
-        cols = lax.dynamic_slice(Spad, (z0, gk), (NP, WA))
-        Spad = lax.dynamic_update_slice(Spad, cols @ Vw, (z0, gk))
-        blk = lax.dynamic_slice(Spad, (gk, gk), (WA, WA))
-        Spad = lax.dynamic_update_slice(Spad, jnp.where(act, Tw, blk),
-                                        (gk, gk))
+        Spad = ext.mul_rows(Spad, gk, WA, Vw)
+        Spad = ext.mul_cols(Spad, gk, WA, Vw)
+        blk = ext.get_block(Spad, gk, gk, WA, WA)
+        Spad = ext.set_block(Spad, jnp.where(act, Tw, blk), gk, gk)
         spk = jnp.where(r[:, None] == 0, beta, 0.0)
-        Spad = lax.dynamic_update_slice(Spad, spk, (gk, gk - 1))
-        qc = lax.dynamic_slice(Qpad, (z0, gk), (Qpad.shape[0], WA))
-        Qpad = lax.dynamic_update_slice(Qpad, qc @ Vw, (z0, gk))
+        Spad = ext.set_block(Spad, spk, gk, gk - 1)
+        Qpad = ext.mul_cols(Qpad, gk, WA, Vw)
 
         new_ihi = ihi - nd
 
         # exceptional-shift fallback when the window yielded no usable pair
-        hq = Spad[P + new_ihi - 1, P + jnp.maximum(new_ihi - 2, 0)]
-        d0 = Spad[P + new_ihi - 1, P + jnp.maximum(new_ihi - 1, 0)]
+        tail = ext.get_block(Spad, P + new_ihi - 1,
+                             P + jnp.maximum(new_ihi - 2, 0), 1, 2)
+        hq = tail[0, 0]
+        d0 = jnp.where(new_ihi >= 2, tail[0, 1], tail[0, 0])
         esh = d0 + 0.75 * jnp.abs(hq)
         fb = jnp.stack([esh, 0 * esh, esh, 0 * esh])
         need_fb = npairs == 0
@@ -593,10 +726,10 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
                    static_argnames=("P", "WA", "NS", "B", "TMAX", "nibble",
-                                    "itmax"))
+                                    "itmax", "ext", "n"))
 def _schur_fused(Spad, Qpad, thresh, eyeW, eyeWC,
                  P: int, WA: int, NS: int, B: int, TMAX: int, nibble: int,
-                 itmax: int):
+                 itmax: int, ext=DenseExtent, n: Optional[int] = None):
     """The whole multishift-QR iteration as ONE device program.
 
     A ``lax.while_loop`` over AED rounds: each round runs the fused AED
@@ -607,10 +740,16 @@ def _schur_fused(Spad, Qpad, thresh, eyeW, eyeWC,
     2295-2336) exists to hide task latency on a CPU pool; on TPU the same
     control flow is scalar work the device itself executes between GEMMs.
 
+    ``n`` (the active problem size) defaults to ``NP - 2 P``; the DM driver
+    passes it explicitly because its buffer is rounded up to a
+    shard-divisible width.  ``ext`` selects the extent-op strategy (dense
+    vs sharded collectives).
+
     Returns (Spad, Qpad, info) with info 0 on success, 1 on failed
     convergence (iteration limit or window-solve failure).
     """
-    n = Spad.shape[0] - 2 * P
+    if n is None:
+        n = Spad.shape[0] - 2 * P
 
     def cond(st):
         Spad, Qpad, ihi, it_seg, last_ihi, fail, rounds = st
@@ -620,23 +759,15 @@ def _schur_fused(Spad, Qpad, thresh, eyeW, eyeWC,
         Spad, Qpad, ihi, it_seg, last_ihi, fail, rounds = st
         Spad, Qpad, shifts, status = _aed_round(
             Spad, Qpad, ihi, thresh, eyeW,
-            P=P, WA=WA, NS=NS, B=B, TMAX=TMAX, nibble=nibble)
+            P=P, WA=WA, NS=NS, B=B, TMAX=TMAX, nibble=nibble, ext=ext)
         new_ihi, l, ntr, sfail, nd, npairs = (status[i] for i in range(6))
         it_seg = jnp.where(new_ihi != last_ihi, 0, it_seg) + 1
         fail = (sfail != 0) | (it_seg > itmax)
 
         def sweeps(ops):
             Spad, Qpad = ops
-
-            def train(t, c):
-                Spad, Qpad = c
-                return lax.cond(
-                    t < ntr,
-                    lambda S, Q: _sweep_traced(S, Q, eyeWC, P + l,
-                                               P + new_ihi, shifts[t], B=B),
-                    lambda S, Q: (S, Q), Spad, Qpad)
-
-            return lax.fori_loop(0, TMAX, train, (Spad, Qpad))
+            return _sweep_wave(Spad, Qpad, eyeWC, P + l, P + new_ihi,
+                               shifts, ntr, G=TMAX, B=B, ext=ext)
 
         Spad, Qpad = lax.cond((ntr > 0) & (~fail), sweeps,
                               lambda ops: ops, (Spad, Qpad))
@@ -716,7 +847,8 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     B = max(2, min(conf.shifts_per_window // 2, NS // 2, max(2, n // 12)))
     WC = 6 * B + 4                        # train chase window (~window_size)
     TMAX = max(1, (NS // 2 + B - 1) // B)
-    P = max(3 * B + 4, WC + 2, WA) + 2
+    # + WC: parking zone for masked wavefront trains (_sweep_wave)
+    P = max(3 * B + 4, WC + 2, WA) + 2 + WC
     NP = n + 2 * P
 
     Spad = jnp.zeros((NP, NP), dtype)

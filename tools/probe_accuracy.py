@@ -40,16 +40,18 @@ def main():
 
     from starneig_tpu.api import sep
 
+    # NB: on the tunneled TPU platform block_until_ready does not actually
+    # wait for completion — force a scalar D2H to synchronize timings
     t0 = time.time()
     H, Q = sep.hessenberg(Aj)
-    H.block_until_ready()
+    float(jnp.sum(H))
     t_h = time.time() - t0
     Hn, Qn = np.asarray(H), np.asarray(Q)
     report("hessenberg", A, Hn, Qn, t_h)
 
     t0 = time.time()
     S, Q2, er, ei, info = sep.schur(H, Q)
-    S.block_until_ready()
+    float(jnp.sum(S))
     t_s = time.time() - t0
     Sn, Q2n = np.asarray(S), np.asarray(Q2)
     res, orth = report("hessenberg+schur", A, Sn, Q2n, t_s)
