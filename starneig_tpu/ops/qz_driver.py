@@ -39,7 +39,21 @@ from starneig_tpu.ops.control import make_bounded_while
 from starneig_tpu.ops.qz import small_qz, standardize_gep_2x2, _pencil_m2
 from starneig_tpu.ops.swaps_gep import swap_adjacent_gep
 from starneig_tpu.ops.eigvals import extract_eigenvalues_gen
-from starneig_tpu.ops.schur import _zero_negligible
+
+
+def _zero_negligible(S, ihi, thresh):
+    """Zero negligible H-subdiagonals above row ihi; returns (S, sub)."""
+    n = S.shape[0]
+    ulp = jnp.finfo(S.dtype).eps
+    d = jnp.diagonal(S)
+    sub = jnp.diagonal(S, offset=-1)
+    tst = jnp.abs(d[:-1]) + jnp.abs(d[1:])
+    idx = jnp.arange(n - 1)
+    neg = (jnp.abs(sub) <= jnp.maximum(ulp * tst, thresh)) & (idx + 1 < ihi)
+    newsub = jnp.where(neg, 0.0, sub)
+    r = jnp.arange(n)
+    S = S.at[r[1:], r[:-1]].set(newsub)
+    return S, jnp.concatenate([newsub, jnp.zeros((1,), S.dtype)])
 
 
 # ---------------------------------------------------------------------------
