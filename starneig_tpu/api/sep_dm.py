@@ -61,10 +61,18 @@ def hessenberg(A, Q=None, mesh=None, conf=None):
 
 
 def schur(H, Q=None, mesh=None, conf=None):
-    """Distributed Schur reduction (sep_dm.h:132-196)."""
+    """Distributed Schur reduction (sep_dm.h:132-196).
+
+    Runs the fused multishift-QR driver as ONE shard_map SPMD program over
+    the mesh (column-sharded matrix, explicit psum panel gathers — see
+    :mod:`starneig_tpu.parallel.dm_core`), mirroring the reference's
+    same-core-with-mpi structure (src/mpi/interface_schur.c:53-120).
+    """
+    from starneig_tpu.parallel.dm_core import schur_dm
+
     Hd = _as_distr(H, mesh)
     Qd = None if Q is None else _as_distr(Q, Hd.mesh).data
-    S, Qo, er, ei, info = _sep.schur(Hd.data, Q=Qd, conf=conf)
+    S, Qo, er, ei, info = schur_dm(Hd.data, Q=Qd, mesh=Hd.mesh, conf=conf)
     return _wrap(S, Hd.mesh, Hd.spec), _wrap(Qo, Hd.mesh, Hd.spec), er, ei, info
 
 

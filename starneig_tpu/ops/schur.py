@@ -724,12 +724,9 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
 # driver
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("P", "WA", "NS", "B", "TMAX", "nibble",
-                                    "itmax", "ext", "n"))
-def _schur_fused(Spad, Qpad, thresh, eyeW, eyeWC,
-                 P: int, WA: int, NS: int, B: int, TMAX: int, nibble: int,
-                 itmax: int, ext=DenseExtent, n: Optional[int] = None):
+def _schur_iter(Spad, Qpad, thresh, eyeW, eyeWC,
+                P: int, WA: int, NS: int, B: int, TMAX: int, nibble: int,
+                itmax: int, ext=DenseExtent, n: Optional[int] = None):
     """The whole multishift-QR iteration as ONE device program.
 
     A ``lax.while_loop`` over AED rounds: each round runs the fused AED
@@ -778,6 +775,12 @@ def _schur_fused(Spad, Qpad, thresh, eyeW, eyeWC,
           jnp.bool_(False), jnp.int32(0))
     Spad, Qpad, ihi, _, _, fail, _ = lax.while_loop(cond, body, st)
     return Spad, Qpad, fail.astype(jnp.int32)
+
+
+_schur_fused = functools.partial(jax.jit, donate_argnums=(0, 1),
+                                 static_argnames=("P", "WA", "NS", "B",
+                                                  "TMAX", "nibble", "itmax",
+                                                  "ext", "n"))(_schur_iter)
 
 
 def _resolve_threshold(H, conf, dtype):
