@@ -106,11 +106,18 @@ def standardize_gep_2x2(A2, B2):
     """
     dtype = A2.dtype
     floor = jnp.finfo(dtype).tiny ** 0.5
+    ulp = jnp.finfo(dtype).eps
     a11, a12, a21, a22 = A2[0, 0], A2[0, 1], A2[1, 0], A2[1, 1]
     b11, b12, b22 = B2[0, 0], B2[0, 1], B2[1, 1]
     m11, m12, m21, m22 = _pencil_m2(a11, a12, a21, a22, b11, b12, b22, floor)
     l1r, l1i, l2r, l2i = prim.eig2x2(m11, m12, m21, m22)
-    is_real = l1i == 0
+    # a numerically singular B2 means the block holds an infinite
+    # eigenvalue and MUST split as a real pair (LAPACK dlagv2 semantics —
+    # without this, an inf + finite pair masquerades as a "complex" block
+    # with beta ~ sqrt(tiny * O(1)))
+    bnorm = jnp.abs(b11) + jnp.abs(b12) + jnp.abs(b22)
+    b_sing = jnp.minimum(jnp.abs(b11), jnp.abs(b22)) <= 8 * ulp * bnorm
+    is_real = (l1i == 0) | b_sing
 
     # real case: right rotation from the eigenvector of (A - lam B)
     lam = l1r
@@ -124,11 +131,28 @@ def standardize_gep_2x2(A2, B2):
     w = jnp.where(degenerate, jnp.array([1.0, 0.0], dtype), w / jnp.where(degenerate, 1.0, nw))
     cr = w[0]
     sr = w[1]
+
+    # infinite-eigenvalue split: rotate B2's null vector to the first
+    # column (inf lands on top), then triangularize A from the left
+    inf_at_11 = jnp.abs(b11) <= jnp.abs(b22)
+    rinf = jnp.sqrt(b12 * b12 + b11 * b11)
+    rdeg = rinf < floor
+    cr_i = jnp.where(inf_at_11, 1.0, jnp.where(rdeg, 1.0, -b12 / jnp.where(rdeg, 1.0, rinf)))
+    sr_i = jnp.where(inf_at_11, 0.0, jnp.where(rdeg, 0.0, b11 / jnp.where(rdeg, 1.0, rinf)))
+    cr = jnp.where(b_sing, cr_i, cr)
+    sr = jnp.where(b_sing, sr_i, sr)
+
     # B' = B @ Gr with Gr = [[cr, -sr], [sr, cr]]; left rotation zeroes B'[1,0]
-    bp10 = b12 * 0.0 + (0.0 * b11)  # placeholder to keep dtype
     b_p00 = b11 * cr + b12 * sr
     b_p10 = b22 * sr
     cl, sl, _ = prim.givens(b_p00, b_p10)
+    # ... except in the singular-B split, where the left rotation zeroes
+    # A'[1,0] instead (B' first column is ~0 on both rows already)
+    a_p00 = a11 * cr + a12 * sr
+    a_p10 = a21 * cr + a22 * sr
+    cl_i, sl_i, _ = prim.givens(a_p00, a_p10)
+    cl = jnp.where(b_sing, cl_i, cl)
+    sl = jnp.where(b_sing, sl_i, sl)
     # identity transforms for the complex case
     cr = jnp.where(is_real, cr, 1.0)
     sr = jnp.where(is_real, sr, 0.0)
@@ -138,9 +162,11 @@ def standardize_gep_2x2(A2, B2):
     Gr = jnp.array([[cr, -sr], [sr, cr]], dtype)
     A2n = Gl.T @ A2 @ Gr
     B2n = Gl.T @ B2 @ Gr
-    # plant exact zeros for the real case
+    # plant exact zeros for the real case; the singular-B split also
+    # plants the exact zero beta marking the infinite eigenvalue
     A2n = jnp.where(is_real, A2n.at[1, 0].set(0.0), A2n)
     B2n = B2n.at[1, 0].set(0.0)
+    B2n = jnp.where(b_sing, B2n.at[0, 0].set(0.0), B2n)
     return A2n, B2n, cl, sl, cr, sr
 
 

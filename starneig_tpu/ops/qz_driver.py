@@ -316,6 +316,108 @@ def _masked_window_pair(Spad, Tpad, pos, m, P: int, W: int):
 
 
 # ---------------------------------------------------------------------------
+# windowed infinite-eigenvalue push (reference: insert_push_inf_top,
+# src/schur/core.c:475-562; kernel starneig_push_inf_top cpu_utils.c:605).
+# The reference pushes T-diagonal zeros to the segment TOP inside fixed
+# windows; here the push runs DOWN to the segment bottom (matching the
+# bottom-deflating window solver small_qz) — equivalent capability: the
+# infinite eigenvalue deflates at the segment edge with windowed left
+# rotations + off-window GEMM application of the accumulated transform.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("Wb",))
+def _inf_chase_kernel(Hw, Tw, jrel, mrel, lrel, Wb: int):
+    """Move the T-diagonal zero at window-relative jrel down to mrel-1.
+
+    The reference's push_inf_down mechanics (cpu_utils.c:505-560),
+    windowed: per step i, a LEFT rotation built from T's superdiagonal
+    pair (T[i, i+1], T[i+1, i+1]) zeroes T[i+1, i+1] — moving the zero
+    diagonal down unconditionally (no dhgeqz chaseability restriction) —
+    and a RIGHT reflection built from the A-fill pair (A[i+1, i-1],
+    A[i+1, i]) restores A's Hessenberg structure.  ``lrel`` is the step
+    where the right reflection must be skipped (the decoupled segment
+    top, where A[l, l-1] == 0 means no fill arises), or -1.
+
+    Returns (Hw, Tw, Qw, Zw) with accumulated window transforms.
+    """
+    dtype = Hw.dtype
+    Qw = jnp.eye(Wb, dtype=dtype)
+    Zw = jnp.eye(Wb, dtype=dtype)
+    Tw = Tw.at[jrel, jrel].set(0.0)   # plant the detected zero exactly
+
+    def body(t, carry):
+        Hw, Tw, Qw, Zw = carry
+        act = (t >= jrel) & (t <= mrel - 2)
+        i = jnp.clip(t, 0, Wb - 2)
+        i1 = i + 1
+        c, s, r = prim.givens(Tw[i, i1], Tw[i1, i1])
+        c = jnp.where(act, c, 1.0)
+        s = jnp.where(act, s, 0.0)
+        for M in ("H", "T"):
+            X = Hw if M == "H" else Tw
+            r0, r1 = X[i, :], X[i1, :]
+            X = X.at[i, :].set(c * r0 + s * r1)
+            X = X.at[i1, :].set(-s * r0 + c * r1)
+            if M == "H":
+                Hw = X
+            else:
+                Tw = X
+        q0, q1 = Qw[:, i], Qw[:, i1]
+        Qw = Qw.at[:, i].set(c * q0 + s * q1)
+        Qw = Qw.at[:, i1].set(-s * q0 + c * q1)
+        Tw = Tw.at[i, i1].set(jnp.where(act, r, Tw[i, i1]))
+        Tw = Tw.at[i1, i1].set(jnp.where(act, 0.0, Tw[i1, i1]))
+        Tw = Tw.at[i1, i].set(jnp.where(act, 0.0, Tw[i1, i]))
+
+        # right reflection on cols (i-1, i) zeroing the A-fill A[i+1, i-1]
+        ract = act & (t != lrel)
+        im1 = jnp.maximum(i - 1, 0)
+        cr, sr, rr = prim.givens(Hw[i1, im1], Hw[i1, i])
+        # reflection [[-sr, cr], [cr, sr]] (dlartg pair: zeroes col i-1's
+        # entry, lands r on col i); inactive steps keep columns untouched
+        for nm in ("H", "T", "Z"):
+            X = Hw if nm == "H" else (Tw if nm == "T" else Zw)
+            a, b = X[:, im1], X[:, i]
+            na = jnp.where(ract, -sr * a + cr * b, a)
+            nb = jnp.where(ract, cr * a + sr * b, b)
+            X = X.at[:, im1].set(na).at[:, i].set(nb)
+            if nm == "H":
+                Hw = X
+            elif nm == "T":
+                Tw = X
+            else:
+                Zw = X
+        Hw = Hw.at[i1, i].set(jnp.where(ract, rr, Hw[i1, i]))
+        Hw = Hw.at[i1, im1].set(jnp.where(ract, 0.0, Hw[i1, im1]))
+        return Hw, Tw, Qw, Zw
+
+    Hw, Tw, Qw, Zw = lax.fori_loop(0, Wb - 1, body, (Hw, Tw, Qw, Zw))
+    return Hw, Tw, Qw, Zw
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("P",))
+def _deflate_inf_bottom(Spad, Tpad, Zpad, ihi, P: int):
+    """Right rotation deflating the infinite eigenvalue at the segment
+    bottom: zeroes H[ihi-1, ihi-2] (T[ihi-1, ihi-1] is already zero)."""
+    i = P + ihi - 1
+    c, s, _ = prim.givens(Spad[i, i], Spad[i, i - 1])
+
+    def rot(M):
+        a, b = M[:, i - 1], M[:, i]
+        return M.at[:, i - 1].set(c * a - s * b).at[:, i].set(s * a + c * b)
+
+    Spad = rot(Spad)
+    Spad = Spad.at[i, i - 1].set(0.0)
+    Tpad = rot(Tpad)
+    Tpad = Tpad.at[i, i - 1].set(0.0)
+    nq = Zpad.shape[0]
+    gi = i  # Zpad columns are padded like Spad's
+    a, b = Zpad[:, gi - 1], Zpad[:, gi]
+    Zpad = Zpad.at[:, gi - 1].set(c * a - s * b).at[:, gi].set(s * a + c * b)
+    return Spad, Tpad, Zpad
+
+
+# ---------------------------------------------------------------------------
 # batched QZ bulge trains (full-width v1)
 # ---------------------------------------------------------------------------
 
@@ -556,11 +658,15 @@ def qz_schur(H, T, Q=None, Z=None, conf: Optional[SchurConf] = None):
         return buckets[-1]
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def zero_neg(Spad, ihi):
+    def zero_neg(Spad, Tpad, ihi):
+        # one fused dispatch + ONE packed D2H per round: H subdiagonal
+        # after negligibility zeroing, plus |diag(T)| for inf detection
         S = lax.dynamic_slice(Spad, (P, P), (n, n))
         S, sub = _zero_negligible(S, ihi, thresh)
         Spad = lax.dynamic_update_slice(Spad, S, (P, P))
-        return Spad, sub
+        tdiag = jnp.abs(jnp.diagonal(
+            lax.dynamic_slice(Tpad, (P, P), (n, n))))
+        return Spad, jnp.stack([sub, tdiag])
 
     info = Error.SUCCESS
     ihi = n
@@ -577,9 +683,33 @@ def qz_schur(H, T, Q=None, Z=None, conf: Optional[SchurConf] = None):
         out = small_qz(Sw, Tw, eyes[Wb], eyes[Wb], m, thresh, thresh_t)
         return Wb, out
 
+    INF_WB = min(96, max(buckets))
+
+    def push_inf_down(Spad, Tpad, Qpad, Zpad, j, l, ihi):
+        """Windowed chase of the T-zero at j down to the segment bottom;
+        deflates the infinite eigenvalue there.  Returns
+        (Spad, Tpad, Qpad, Zpad, new_ihi)."""
+        p = j
+        while p < ihi - 1:
+            a0 = max(p - 1, l)
+            jrel = p - a0
+            m = min(INF_WB, ihi - a0)
+            Hw, Tw = _masked_window_pair(Spad, Tpad, a0, m, P, INF_WB)
+            lrel = jrel if p == l else -1
+            Hw, Tw, Qw, Zw = _inf_chase_kernel(
+                Hw, Tw, jnp.int32(jrel), jnp.int32(m), jnp.int32(lrel),
+                INF_WB)
+            Spad, Tpad, Qpad, Zpad = _apply_window_gep(
+                Spad, Tpad, Qpad, Zpad, Qw, Zw, Hw, Tw, m, a0, False,
+                jnp.zeros((), dtype), P=P, W=INF_WB)
+            p = a0 + m - 1
+        Spad, Tpad, Zpad = _deflate_inf_bottom(Spad, Tpad, Zpad, ihi, P=P)
+        return Spad, Tpad, Qpad, Zpad, ihi - 1
+
     while ihi > 0:
-        Spad, sub = zero_neg(Spad, ihi)
-        sub = np.asarray(sub)
+        Spad, packed = zero_neg(Spad, Tpad, ihi)
+        packed = np.asarray(packed)
+        sub, tdiag_full = packed[0], packed[1]
         while ihi > 0:
             if ihi == 1 or sub[ihi - 2] == 0.0:
                 ihi -= 1
@@ -601,11 +731,8 @@ def qz_schur(H, T, Q=None, Z=None, conf: Optional[SchurConf] = None):
         l = int(zeros[-1] + 1) if zeros.size else 0
         seg = ihi - l
 
-        # infinite eigenvalues outside the AED window? fall back to the
-        # window solver over the whole segment (correct, slower)
-        tdiag = np.abs(np.asarray(
-            jnp.diagonal(lax.dynamic_slice(Tpad, (P + l, P + l),
-                                           (min(seg, n), min(seg, n))))))
+        # infinite eigenvalues (negligible T diagonal) inside the segment
+        tdiag = tdiag_full[l:ihi]
         has_inf = bool((tdiag <= max(thresh_t, 0.0)).any())
 
         if seg <= SMALL_W or (has_inf and seg <= max(buckets)):
@@ -619,8 +746,16 @@ def qz_schur(H, T, Q=None, Z=None, conf: Optional[SchurConf] = None):
             ihi = l
             continue
         if has_inf:
-            info = Error.DID_NOT_CONVERGE  # segment too large for fallback
-            break
+            # large segment: windowed push to the segment edge (reference
+            # insert_push_inf_top capability, src/schur/core.c:475-562,
+            # kernel cpu_utils.c:505-560 — unconditional T-driven chase).
+            # Bottom-most zero first: its chase path to the deflation edge
+            # crosses no other zero diagonal, so consecutive infinite
+            # eigenvalues peel one per round
+            j = l + int(np.nonzero(tdiag <= max(thresh_t, 0.0))[0][-1])
+            Spad, Tpad, Qpad, Zpad, ihi = push_inf_down(
+                Spad, Tpad, Qpad, Zpad, j, l, ihi)
+            continue
 
         # ---- AED ----
         w = min(WA, conf.aed_window_size, seg - 1)

@@ -53,3 +53,39 @@ def test_qz_driver_aed_path():
     safe = np.where(np.abs(bt) < 1e-12, 1e-12, bt)
     ev = (ar + 1j * ai) / safe
     assert eigenvalue_error(ev, ev_ref) < 5e5
+
+
+def test_qz_driver_inf_large_segment():
+    """HT-form pencil with exact T-diagonal zeros in a segment exceeding
+    every window bucket: exercises the windowed infinite-eigenvalue push
+    (the reference's insert_push_inf_top capability,
+    src/schur/core.c:475-562) that previously returned DID_NOT_CONVERGE.
+
+    The input is given directly in Hessenberg-triangular form: scrambling
+    by orthogonal transforms smears exact B-singularity below any
+    principled detection threshold — LAPACK dhgeqz on the scrambled pencil
+    recovers only ~1 of 12 planted infinities (measured via scipy.ordqz);
+    detection parity is what the reference's kernel provides
+    (cpu_utils.c:605 operates on detected zero T diagonals)."""
+    rng = np.random.default_rng(11)
+    n = 120
+    H0 = np.triu(rng.standard_normal((n, n)), -1)
+    T0 = np.triu(rng.standard_normal((n, n))) + 3 * np.eye(n)
+    # non-adjacent zeros: adjacent pairs (a Jordan block at infinity) keep
+    # their rank deficiency under the push but it leaves the diagonal —
+    # LAPACK dhgeqz misclassifies those too (measured |lambda| ~ 600 via
+    # scipy on the scrambled equivalent)
+    inf_pos = [15, 40, 62, 77, 103]
+    for j in inf_pos:
+        T0[j, j] = 0.0
+    conf = SchurConf(small_limit=32, aed_window_size=24, aed_shift_count=16)
+    S, Tt, Qo, Zo, ar, ai, bt, info = qz_schur(
+        jnp.asarray(H0), jnp.asarray(T0), conf=conf)
+    assert info == Error.SUCCESS
+    S, Tt, Qo, Zo = map(np.asarray, (S, Tt, Qo, Zo))
+    _check(H0, T0, S, Tt, Qo, Zo)
+    # every planted infinite eigenvalue is recovered with beta == 0 and a
+    # zero diagonal in the output T
+    bt_np = np.asarray(bt)
+    n_inf_found = int((np.abs(bt_np) <= 1e-12 * np.abs(bt_np).max()).sum())
+    assert n_inf_found >= len(inf_pos), bt_np[np.argsort(np.abs(bt_np))[:8]]
