@@ -59,6 +59,19 @@ def _cdiv(ar, ai, br, bi, guard):
 def _backsolve_all(S, lam_r, lam_i, pos, is_pair, valid):
     """Backward substitution for a batch of eigenvalues (vmapped).
 
+    Robustness (the reference's per-tile scaling-factor machinery,
+    src/eigenvectors/standard/robust.h:185-381, recast per column):
+
+      * every column carries a running scaling factor applied whenever a
+        division would overflow — before computing x[k] = rhs / d, the
+        column is rescaled by (|d| * Omega) / |rhs| if |rhs| exceeds the
+        growth bound |d| * Omega (Omega sized so the next row-dot cannot
+        overflow either);
+      * near-singular shifted diagonals |S[k,k] - lambda| < smin are
+        perturbed to smin and flagged — the reference's
+        STARNEIG_CLOSE_EIGENVALUES condition
+        (src/eigenvectors/standard/interface.c:57-88).
+
     Args:
       S: (n, n) real Schur form.
       lam_r, lam_i: (m,) eigenvalues (lam_i > 0 for pairs).
@@ -66,16 +79,22 @@ def _backsolve_all(S, lam_r, lam_i, pos, is_pair, valid):
       is_pair, valid: (m,) bool flags.
 
     Returns:
-      (xr, xi): (m, n) real and imaginary parts of the (unnormalized then
-      normalized) eigenvectors.
+      (xr, xi, close): (m, n) normalized eigenvector parts and an (m,)
+      close-eigenvalues flag per column.
     """
     n = S.shape[0]
     dtype = S.dtype
     smlnum = jnp.finfo(dtype).tiny / jnp.finfo(dtype).eps
+    ulp = jnp.finfo(dtype).eps
+    snorm = jnp.max(jnp.abs(S)) + smlnum
+    # growth bound: keep max|x| below Omega so the row dot n*snorm*|x|
+    # stays far from the overflow threshold
+    omega = jnp.finfo(dtype).max / (16.0 * n) / snorm
     sub = jnp.concatenate([jnp.diagonal(S, offset=-1), jnp.zeros((1,), dtype)])
     rows = jnp.arange(n)
 
     def one(lr, li, p, pair):
+        smin = jnp.maximum(ulp * (jnp.abs(lr) + jnp.abs(li)), smlnum)
         # initial entries at the eigenvalue's own block
         xr = jnp.zeros(n, dtype)
         xi = jnp.zeros(n, dtype)
@@ -84,7 +103,7 @@ def _backsolve_all(S, lam_r, lam_i, pos, is_pair, valid):
         xi = xi.at[jnp.minimum(p + 1, n - 1)].add(jnp.where(pair, li, 0.0))
 
         def step(t, carry):
-            xr, xi = carry
+            xr, xi, close = carry
             k = n - 2 - t
             in_range = (k >= 0) & (k < p)
             is_second = jnp.where(k >= 1, sub[jnp.maximum(k - 1, 0)] != 0, False)
@@ -96,8 +115,22 @@ def _backsolve_all(S, lam_r, lam_i, pos, is_pair, valid):
             rhs_r = -jnp.dot(S[k] * mask_k, xr)
             rhs_i = -jnp.dot(S[k] * mask_k, xi)
 
-            # --- 1x1: x[k] = rhs / (S[k,k] - lambda) ---
-            vr, vi = _cdiv(rhs_r, rhs_i, S[k, k] - lr, -li, smlnum)
+            # --- 1x1: x[k] = rhs / (S[k,k] - lambda), protected ---
+            d_r = S[k, k] - lr
+            d_i = -li
+            dabs = jnp.abs(d_r) + jnp.abs(d_i)
+            near = do_1 & (dabs < smin)
+            d_r = jnp.where(near, smin, d_r)
+            d_i = jnp.where(near, 0.0, d_i)
+            dabs = jnp.maximum(dabs, smin)
+            close = close | near
+            # scale the column before a growing division (robust.h's
+            # protect_update: solve only after the bound admits it)
+            rabs = jnp.abs(rhs_r) + jnp.abs(rhs_i)
+            fac1 = jnp.where(do_1 & (rabs > dabs * omega),
+                             dabs * omega / jnp.maximum(rabs, smlnum), 1.0)
+            xr, xi = xr * fac1, xi * fac1
+            vr, vi = _cdiv(rhs_r * fac1, rhs_i * fac1, d_r, d_i, smlnum)
             xr = jnp.where(do_1, xr.at[k].set(vr), xr)
             xi = jnp.where(do_1, xi.at[k].set(vi), xi)
 
@@ -113,30 +146,43 @@ def _backsolve_all(S, lam_r, lam_i, pos, is_pair, valid):
             # det = m11*m22 - m12*m21 (complex)
             detr = m11r * m22r - m11i * m22i - m12 * m21
             deti = m11r * m22i + m11i * m22r
+            detabs = jnp.abs(detr) + jnp.abs(deti)
+            blkscale = jnp.abs(m11r) + jnp.abs(m11i) + jnp.abs(m12) + \
+                jnp.abs(m21) + jnp.abs(m22r) + jnp.abs(m22i) + smin
+            near2 = do_2 & (detabs < smin * blkscale)
+            detr = jnp.where(near2, smin * blkscale, detr)
+            deti = jnp.where(near2, 0.0, deti)
+            detabs = jnp.maximum(detabs, smin * blkscale)
+            close = close | near2
             # x_k = (m22*r1 - m12*r2)/det ; x_k1 = (m11*r2 - m21*r1)/det
             n1r = m22r * rhs_r - m22i * rhs_i - m12 * rhs2_r
             n1i = m22r * rhs_i + m22i * rhs_r - m12 * rhs2_i
             n2r = m11r * rhs2_r - m11i * rhs2_i - m21 * rhs_r
             n2i = m11r * rhs2_i + m11i * rhs2_r - m21 * rhs_i
-            w1r, w1i = _cdiv(n1r, n1i, detr, deti, smlnum)
-            w2r, w2i = _cdiv(n2r, n2i, detr, deti, smlnum)
+            nmax = jnp.maximum(jnp.abs(n1r) + jnp.abs(n1i),
+                               jnp.abs(n2r) + jnp.abs(n2i))
+            fac2 = jnp.where(do_2 & (nmax > detabs * omega),
+                             detabs * omega / jnp.maximum(nmax, smlnum), 1.0)
+            xr, xi = xr * fac2, xi * fac2
+            w1r, w1i = _cdiv(n1r * fac2, n1i * fac2, detr, deti, smlnum)
+            w2r, w2i = _cdiv(n2r * fac2, n2i * fac2, detr, deti, smlnum)
             xr = jnp.where(do_2, xr.at[k].set(w1r).at[k1].set(w2r), xr)
             xi = jnp.where(do_2, xi.at[k].set(w1i).at[k1].set(w2i), xi)
+            return xr, xi, close
 
-            # overflow guard: rescale runaway columns (normalized at the end)
-            mx = jnp.maximum(jnp.max(jnp.abs(xr)), jnp.max(jnp.abs(xi)))
-            fac = jnp.where(mx > 1e250, 1e-250, 1.0)
-            return xr * fac, xi * fac
-
-        xr, xi = lax.fori_loop(0, n - 1, step, (xr, xi))
+        xr, xi, close = lax.fori_loop(0, n - 1, step,
+                                      (xr, xi, jnp.bool_(False)))
+        mx = jnp.maximum(jnp.max(jnp.abs(xr)), jnp.max(jnp.abs(xi)))
+        mx = jnp.where(mx == 0, 1.0, mx)
+        xr, xi = xr / mx, xi / mx   # safe two-stage normalization
         nrm = jnp.sqrt(jnp.sum(xr * xr) + jnp.sum(xi * xi))
         nrm = jnp.where(nrm == 0, 1.0, nrm)
-        return xr / nrm, xi / nrm
+        return xr / nrm, xi / nrm, close
 
-    xr, xi = jax.vmap(one)(lam_r, lam_i, pos, is_pair)
+    xr, xi, close = jax.vmap(one)(lam_r, lam_i, pos, is_pair)
     xr = jnp.where(valid[:, None], xr, 0.0)
     xi = jnp.where(valid[:, None], xi, 0.0)
-    return xr, xi
+    return xr, xi, close & valid
 
 
 @jax.jit
@@ -195,9 +241,9 @@ def eigenvectors_schur(S, Q, select, conf: Optional[EigenvectorsConf] = None):
     for j, (p, pr, lr, li) in enumerate(entries):
         pos[j], is_pair[j], lam_r[j], lam_i[j], valid[j] = p, pr, lr, li, True
 
-    xr, xi = _backsolve_all(S, jnp.asarray(lam_r), jnp.asarray(lam_i),
-                            jnp.asarray(pos), jnp.asarray(is_pair),
-                            jnp.asarray(valid))
+    xr, xi, close = _backsolve_all(S, jnp.asarray(lam_r), jnp.asarray(lam_i),
+                                   jnp.asarray(pos), jnp.asarray(is_pair),
+                                   jnp.asarray(valid))
     xr = np.asarray(xr)
     xi = np.asarray(xi)
 
@@ -212,7 +258,10 @@ def eigenvectors_schur(S, Q, select, conf: Optional[EigenvectorsConf] = None):
             Y[:, c] = xr[j]
             c += 1
     X = _backtransform(Q, jnp.asarray(Y))
-    return X, Error.SUCCESS
+    # close-eigenvalue warning (reference: interface.c:57-88 + error.h:122)
+    info = Error.CLOSE_EIGENVALUES if bool(np.asarray(close).any()) \
+        else Error.SUCCESS
+    return X, info
 
 
 # ===========================================================================
@@ -232,6 +281,9 @@ def _backsolve_all_gep(S, T, ar, ai, bt, pos, is_pair, valid):
     n = S.shape[0]
     dtype = S.dtype
     smlnum = jnp.finfo(dtype).tiny / jnp.finfo(dtype).eps
+    ulp = jnp.finfo(dtype).eps
+    pnorm = jnp.max(jnp.abs(S)) + jnp.max(jnp.abs(T)) + smlnum
+    omega = jnp.finfo(dtype).max / (16.0 * n) / pnorm
     sub = jnp.concatenate([jnp.diagonal(S, offset=-1), jnp.zeros((1,), dtype)])
     rows = jnp.arange(n)
 
@@ -269,8 +321,11 @@ def _backsolve_all_gep(S, T, ar, ai, bt, pos, is_pair, valid):
         def mrow(k):
             return (b * S[k] - lr * T[k], -li * T[k])
 
+        smin = jnp.maximum(
+            ulp * (jnp.abs(lr) + jnp.abs(li) + jnp.abs(b)), smlnum)
+
         def step(t, carry):
-            xr, xi = carry
+            xr, xi, close = carry
             k = n - 2 - t
             in_range = (k >= 0) & (k < p)
             is_second = jnp.where(k >= 1, sub[jnp.maximum(k - 1, 0)] != 0, False)
@@ -283,10 +338,21 @@ def _backsolve_all_gep(S, T, ar, ai, bt, pos, is_pair, valid):
             rhs_r = -(jnp.dot(mkr * mask_k, xr) - jnp.dot(mki * mask_k, xi))
             rhs_i = -(jnp.dot(mkr * mask_k, xi) + jnp.dot(mki * mask_k, xr))
 
-            # 1x1
+            # 1x1 with the robust.h protections (perturb near-singular
+            # diagonal + scale the column before a growing division)
             d_r = b * S[k, k] - lr * T[k, k]
             d_i = -li * T[k, k]
-            vr, vi = _cdiv(rhs_r, rhs_i, d_r, d_i, smlnum)
+            dabs = jnp.abs(d_r) + jnp.abs(d_i)
+            near = do_1 & (dabs < smin)
+            d_r = jnp.where(near, smin, d_r)
+            d_i = jnp.where(near, 0.0, d_i)
+            dabs = jnp.maximum(dabs, smin)
+            close = close | near
+            rabs = jnp.abs(rhs_r) + jnp.abs(rhs_i)
+            fac1 = jnp.where(do_1 & (rabs > dabs * omega),
+                             dabs * omega / jnp.maximum(rabs, smlnum), 1.0)
+            xr, xi = xr * fac1, xi * fac1
+            vr, vi = _cdiv(rhs_r * fac1, rhs_i * fac1, d_r, d_i, smlnum)
             xr = jnp.where(do_1, xr.at[k].set(vr), xr)
             xi = jnp.where(do_1, xi.at[k].set(vi), xi)
 
@@ -302,28 +368,43 @@ def _backsolve_all_gep(S, T, ar, ai, bt, pos, is_pair, valid):
             a22r, a22i = b * S[k1, k1] - lr * T[k1, k1], -li * T[k1, k1]
             detr = a11r * a22r - a11i * a22i - (a12r * a21r - a12i * a21i)
             deti = a11r * a22i + a11i * a22r - (a12r * a21i + a12i * a21r)
+            detabs = jnp.abs(detr) + jnp.abs(deti)
+            blkscale = jnp.abs(a11r) + jnp.abs(a11i) + jnp.abs(a12r) + \
+                jnp.abs(a12i) + jnp.abs(a21r) + jnp.abs(a21i) + \
+                jnp.abs(a22r) + jnp.abs(a22i) + smin
+            near2 = do_2 & (detabs < smin * blkscale)
+            detr = jnp.where(near2, smin * blkscale, detr)
+            deti = jnp.where(near2, 0.0, deti)
+            detabs = jnp.maximum(detabs, smin * blkscale)
+            close = close | near2
             n1r = a22r * rhs_r - a22i * rhs_i - (a12r * rhs2_r - a12i * rhs2_i)
             n1i = a22r * rhs_i + a22i * rhs_r - (a12r * rhs2_i + a12i * rhs2_r)
             n2r = a11r * rhs2_r - a11i * rhs2_i - (a21r * rhs_r - a21i * rhs_i)
             n2i = a11r * rhs2_i + a11i * rhs2_r - (a21r * rhs_i + a21i * rhs_r)
-            w1r, w1i = _cdiv(n1r, n1i, detr, deti, smlnum)
-            w2r, w2i = _cdiv(n2r, n2i, detr, deti, smlnum)
+            nmax = jnp.maximum(jnp.abs(n1r) + jnp.abs(n1i),
+                               jnp.abs(n2r) + jnp.abs(n2i))
+            fac2 = jnp.where(do_2 & (nmax > detabs * omega),
+                             detabs * omega / jnp.maximum(nmax, smlnum), 1.0)
+            xr, xi = xr * fac2, xi * fac2
+            w1r, w1i = _cdiv(n1r * fac2, n1i * fac2, detr, deti, smlnum)
+            w2r, w2i = _cdiv(n2r * fac2, n2i * fac2, detr, deti, smlnum)
             xr = jnp.where(do_2, xr.at[k].set(w1r).at[k1].set(w2r), xr)
             xi = jnp.where(do_2, xi.at[k].set(w1i).at[k1].set(w2i), xi)
+            return xr, xi, close
 
-            mx = jnp.maximum(jnp.max(jnp.abs(xr)), jnp.max(jnp.abs(xi)))
-            fac = jnp.where(mx > 1e250, 1e-250, 1.0)
-            return xr * fac, xi * fac
-
-        xr, xi = lax.fori_loop(0, n - 1, step, (xr, xi))
+        xr, xi, close = lax.fori_loop(0, n - 1, step,
+                                      (xr, xi, jnp.bool_(False)))
+        mx = jnp.maximum(jnp.max(jnp.abs(xr)), jnp.max(jnp.abs(xi)))
+        mx = jnp.where(mx == 0, 1.0, mx)
+        xr, xi = xr / mx, xi / mx
         nrm = jnp.sqrt(jnp.sum(xr * xr) + jnp.sum(xi * xi))
         nrm = jnp.where(nrm == 0, 1.0, nrm)
-        return xr / nrm, xi / nrm
+        return xr / nrm, xi / nrm, close
 
-    xr, xi = jax.vmap(one)(ar, ai, bt, pos, is_pair)
+    xr, xi, close = jax.vmap(one)(ar, ai, bt, pos, is_pair)
     xr = jnp.where(valid[:, None], xr, 0.0)
     xi = jnp.where(valid[:, None], xi, 0.0)
-    return xr, xi
+    return xr, xi, close & valid
 
 
 def eigenvectors_schur_gep(S, T, Q, Z, select,
@@ -390,9 +471,9 @@ def eigenvectors_schur_gep(S, T, Q, Z, select,
         pos[j], is_pair[j], valid[j] = p, pr, True
         ar[j], ai[j], bt[j] = lr / scale, li / scale, b / scale
 
-    xr, xi = _backsolve_all_gep(S, T, jnp.asarray(ar), jnp.asarray(ai),
-                                jnp.asarray(bt), jnp.asarray(pos),
-                                jnp.asarray(is_pair), jnp.asarray(valid))
+    xr, xi, close = _backsolve_all_gep(S, T, jnp.asarray(ar), jnp.asarray(ai),
+                                       jnp.asarray(bt), jnp.asarray(pos),
+                                       jnp.asarray(is_pair), jnp.asarray(valid))
     xr = np.asarray(xr)
     xi = np.asarray(xi)
 
@@ -407,4 +488,6 @@ def eigenvectors_schur_gep(S, T, Q, Z, select,
             Y[:, c] = xr[j]
             c += 1
     X = _backtransform(Z, jnp.asarray(Y))
-    return X, Error.SUCCESS
+    info = Error.CLOSE_EIGENVALUES if bool(np.asarray(close).any()) \
+        else Error.SUCCESS
+    return X, info

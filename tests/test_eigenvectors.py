@@ -102,3 +102,47 @@ def test_unit_norm():
             nrm = np.linalg.norm(X[:, c])
             c += 1
         assert 0.9 < nrm < 1.1
+
+
+def test_graded_matrix_robust():
+    """Diagonal graded across 1e+150 .. 1e-150: the robust scaling
+    (reference robust.h:185-381 machinery) must produce finite, accurate
+    vectors where an unprotected backsolve over/underflows."""
+    n = 40
+    rng = np.random.default_rng(7)
+    d = np.logspace(150, -150, n)
+    S = np.triu(rng.standard_normal((n, n))) * np.sqrt(np.outer(d, d))
+    np.fill_diagonal(S, d)
+    Q = np.eye(n)
+    sel = np.zeros(n, bool)
+    sel[n // 2] = True          # an eigenvalue deep in the grading
+    sel[-1] = True              # the tiniest one
+    X, info = eigenvectors_schur(jnp.asarray(S), jnp.asarray(Q), sel)
+    X = np.asarray(X)
+    assert np.all(np.isfinite(X)) and X.shape == (n, 2)
+    for c, j in enumerate([n // 2, n - 1]):
+        x = X[:, c]
+        assert np.linalg.norm(x) > 0.5
+        r = S @ x - d[j] * x
+        # relative to the largest row scale the vector actually touches
+        denom = np.max(np.abs(S) @ np.abs(x)) + d[j] * np.abs(x).max()
+        assert np.linalg.norm(r) / max(denom, 1e-300) < 1e-10
+
+
+def test_close_eigenvalues_warning():
+    """A multiple eigenvalue raises the CLOSE_EIGENVALUES warning
+    (reference interface.c:57-88, error.h:122-127)."""
+    n = 12
+    rng = np.random.default_rng(8)
+    S = np.triu(rng.standard_normal((n, n)))
+    np.fill_diagonal(S, np.arange(1, n + 1, dtype=float))
+    S[5, 5] = S[2, 2]           # exact multiplicity
+    sel = np.zeros(n, bool)
+    sel[5] = True               # solving through the duplicate at 2
+    X, info = eigenvectors_schur(jnp.asarray(S), jnp.asarray(np.eye(n)), sel)
+    assert info == Error.CLOSE_EIGENVALUES
+    assert np.all(np.isfinite(np.asarray(X)))
+    # distinct eigenvalues stay clean
+    S[5, 5] = 6.0
+    X, info = eigenvectors_schur(jnp.asarray(S), jnp.asarray(np.eye(n)), sel)
+    assert info == Error.SUCCESS
