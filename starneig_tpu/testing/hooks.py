@@ -108,3 +108,78 @@ def reordering_check(eig_real, eig_imag, select_in, num_selected_out) -> bool:
     # count; detailed value matching is done via eigenvalue_error on the
     # leading block.
     return bool(num_selected_out >= 0)
+
+
+def chordal_eigenvalue_error(ar, ai, bt, alpha_known, beta_known) -> float:
+    """Max matched chordal distance between computed and known generalized
+    spectra, in units of u (the GEP known-eigenvalues hook,
+    test/common/hooks.c:1344 — chordal metric handles infinities exactly:
+    d((a1,b1),(a2,b2)) = |a1 b2 - a2 b1| / (||(a1,b1)|| ||(a2,b2)||))."""
+    a1 = np.asarray(ar, float) + 1j * np.asarray(ai, float)
+    b1 = np.asarray(bt, float)
+    a2 = np.asarray(alpha_known, complex)
+    b2 = np.asarray(beta_known, float)
+    n1 = np.sqrt(np.abs(a1) ** 2 + b1 ** 2)
+    n2 = np.sqrt(np.abs(a2) ** 2 + b2 ** 2)
+    # greedy match each KNOWN value to its closest unused computed value
+    # (the known set may be a subset of the computed spectrum)
+    used = np.zeros(len(a1), bool)
+    worst = 0.0
+    for j in range(len(a2)):
+        d = np.abs(a1 * b2[j] - a2[j] * b1) / np.maximum(n1, 1e-300) / \
+            max(n2[j], 1e-300)
+        d[used] = np.inf
+        i = int(np.argmin(d))
+        used[i] = True
+        worst = max(worst, float(d[i]))
+    return worst / _u(np.float64)
+
+
+def spectrum_analysis(er, ei, bt=None, tol=1e-12):
+    """Count zero / infinite / indefinite eigenvalues (the analysis hook,
+    test/common/hooks.c:1511).  For SEP pass bt=None (no infinities)."""
+    er = np.asarray(er, float)
+    ei = np.asarray(ei, float)
+    mag = np.abs(er + 1j * ei)
+    if bt is None:
+        zeros = int((mag <= tol * max(mag.max(), 1e-300)).sum())
+        return {"zero": zeros, "infinite": 0,
+                "indefinite": 0, "total": len(er)}
+    bt = np.asarray(bt, float)
+    bscale = max(np.abs(bt).max(), 1e-300)
+    inf_mask = np.abs(bt) <= tol * bscale
+    ascale = max(mag.max(), 1e-300)
+    zero_mask = (mag <= tol * ascale) & ~inf_mask
+    indef = int((inf_mask & (mag <= tol * ascale)).sum())
+    return {"zero": int(zero_mask.sum()), "infinite": int(inf_mask.sum()),
+            "indefinite": indef, "total": len(er)}
+
+
+def selection_bitmap(eig_real, eig_imag, sub, ratio, distr="uniform",
+                     seed=0):
+    """Build a selection bitmap over Schur blocks (reference
+    test/common/select_distr.c:105-268): ``uniform`` selects each block
+    independently with probability ``ratio``; ``cluster`` selects one
+    contiguous run of blocks holding ~ratio of the spectrum."""
+    n = len(eig_real)
+    rng = np.random.default_rng(seed)
+    sub = np.asarray(sub)
+    sel = np.zeros(n, bool)
+    # block starts
+    starts = []
+    i = 0
+    while i < n:
+        starts.append(i)
+        i += 2 if (i + 1 < n and sub[i] != 0) else 1
+    if distr == "cluster":
+        k = max(1, int(round(len(starts) * ratio)))
+        c0 = int(rng.integers(0, max(1, len(starts) - k + 1)))
+        chosen = range(c0, c0 + k)
+    else:
+        chosen = [j for j in range(len(starts)) if rng.random() < ratio]
+    for j in chosen:
+        p = starts[j]
+        sel[p] = True
+        if p + 1 < n and sub[p] != 0:
+            sel[p + 1] = True
+    return sel
