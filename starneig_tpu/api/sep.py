@@ -58,11 +58,16 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None):
 def reorder_schur(S, Q, select, conf: Optional[ReorderConf] = None):
     """Move selected eigenvalues to the leading block (sep_sm.h:89-157).
 
+    Uses the wave-parallel window grid (disjoint windows bubble
+    simultaneously, batched off-window GEMMs — the TPU-shaped analogue of
+    the reference's multi-part plan, expert.h:439-525); small problems
+    fall back to the sequential window chain inside.
+
     Returns (S, Q, num_selected, info); also returns re-extracted
     eigenvalues via ``eigenvalues(S)`` if needed (the reference re-extracts
     because swaps can perturb values).
     """
-    return _reorder.reorder_schur(S, Q, select, conf=conf)
+    return _reorder.reorder_schur_parallel(S, Q, select, conf=conf)
 
 
 def eigenvectors(S, Q, select, conf: Optional[EigenvectorsConf] = None):

@@ -197,6 +197,37 @@ def _apply_window(S, Q, Tw, Qw, ws):
     return S, Q
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _apply_windows_batch(S, Q, Tws, Qws, ws):
+    """Apply G DISJOINT window transforms in one dispatch: batched row
+    strips, then batched column strips, then plant the window blocks.
+    Disjointness makes the per-window similarity transforms commute, so the
+    rows-then-columns order is exact (the batched analogue of the
+    reference's independent per-window update tasks, reorder/core.c)."""
+    n = S.shape[0]
+    G, W = Tws.shape[0], Tws.shape[1]
+
+    R = jax.vmap(lambda w0: lax.dynamic_slice(S, (w0, w0 * 0), (W, n)))(ws)
+    R = jnp.einsum("gij,gjn->gin", jnp.swapaxes(Qws, 1, 2), R)
+    S = lax.fori_loop(
+        0, G, lambda g, S: lax.dynamic_update_slice(S, R[g], (ws[g], ws[g] * 0)),
+        S)
+    C = jax.vmap(lambda w0: lax.dynamic_slice(S, (w0 * 0, w0), (n, W)))(ws)
+    C = jnp.einsum("gnj,gjk->gnk", C, Qws)
+    S = lax.fori_loop(
+        0, G, lambda g, S: lax.dynamic_update_slice(S, C[g], (ws[g] * 0, ws[g])),
+        S)
+    S = lax.fori_loop(
+        0, G, lambda g, S: lax.dynamic_update_slice(S, Tws[g], (ws[g], ws[g])),
+        S)
+    QC = jax.vmap(lambda w0: lax.dynamic_slice(Q, (w0 * 0, w0), (n, W)))(ws)
+    QC = jnp.einsum("gnj,gjk->gnk", QC, Qws)
+    Q = lax.fori_loop(
+        0, G, lambda g, Q: lax.dynamic_update_slice(Q, QC[g], (ws[g] * 0, ws[g])),
+        Q)
+    return S, Q
+
+
 # ---------------------------------------------------------------------------
 # host driver
 # ---------------------------------------------------------------------------
@@ -542,8 +573,8 @@ def reorder_schur_parallel(S, Q, select, conf: Optional[ReorderConf] = None):
                 Tws, sels, jnp.asarray(wlo), jnp.asarray(wlim).astype(jnp.int32),
                 jnp.asarray(wlim))
             total_fail += int(np.asarray(nfails).sum())
+            S, Q = _apply_windows_batch(S, Q, Tw2, Qw2, jnp.asarray(ws_arr))
             for g, w0 in enumerate(group):
-                S, Q = _apply_window(S, Q, Tw2[g], Qw2[g], w0)
                 sel[w0:w0 + W] = np.asarray(sel2[g])
             subdiag = np.concatenate(
                 [np.asarray(jnp.diagonal(S, offset=-1)), [0.0]])
