@@ -41,18 +41,23 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def measure_f64_gemm_peak(dtype, m: int = 2048, iters: int = 8) -> float:
-    """Measured device GEMM throughput (GFLOP/s) in the bench dtype."""
+def measure_f64_gemm_peak(dtype, m: int = 2048, iters: int = 200) -> float:
+    """Measured device GEMM throughput (GFLOP/s) in the bench dtype.
+
+    Synchronizes via a scalar-sum fetch: a full-array np.asarray drags the
+    32 MB result over the tunnel and was measured to understate the f64
+    GEMM rate 10x (141 vs the true ~1540 GFLOP/s).
+    """
     A = jnp.asarray(np.random.default_rng(1).standard_normal((m, m)) / m,
                     dtype)
 
     @jax.jit
     def chain(a):
-        return lax.fori_loop(0, iters, lambda i, x: x @ a, a)
+        return lax.fori_loop(0, iters, lambda i, x: x @ a + 1e-9, a)
 
-    np.asarray(chain(A))  # compile + sync
+    float(jnp.sum(chain(A)))  # compile + sync
     t0 = time.time()
-    np.asarray(chain(A))
+    float(jnp.sum(chain(A)))
     dt = time.time() - t0
     return 2.0 * m ** 3 * iters / dt / 1e9
 
@@ -60,14 +65,16 @@ def measure_f64_gemm_peak(dtype, m: int = 2048, iters: int = 8) -> float:
 def solve(A):
     from starneig_tpu.api import sep
 
+    # NB: block_until_ready returns early on the tunneled TPU platform —
+    # synchronize phase timings with a scalar D2H fetch instead
     t0 = time.time()
     H, Q = sep.hessenberg(A)
-    H.block_until_ready()
+    float(jnp.sum(H))
     t_hess = time.time() - t0
 
     t0 = time.time()
     S, Q2, er, ei, info = sep.schur(H, Q)
-    S.block_until_ready()
+    float(jnp.sum(S))
     t_schur = time.time() - t0
     return H, (S, Q2, er, ei, info), t_hess, t_schur
 

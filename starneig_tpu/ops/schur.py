@@ -724,9 +724,10 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
 # driver
 # ---------------------------------------------------------------------------
 
-def _schur_iter(Spad, Qpad, thresh, eyeW, eyeWC,
-                P: int, WA: int, NS: int, B: int, TMAX: int, nibble: int,
-                itmax: int, ext=DenseExtent, n: Optional[int] = None):
+def _schur_iter(Spad, Qpad, thresh, eyeW, eyeWC, state=None, rcap=None,
+                P: int = 0, WA: int = 0, NS: int = 0, B: int = 0,
+                TMAX: int = 0, nibble: int = 0,
+                itmax: int = 0, ext=DenseExtent, n: Optional[int] = None):
     """The whole multishift-QR iteration as ONE device program.
 
     A ``lax.while_loop`` over AED rounds: each round runs the fused AED
@@ -742,15 +743,28 @@ def _schur_iter(Spad, Qpad, thresh, eyeW, eyeWC,
     shard-divisible width.  ``ext`` selects the extent-op strategy (dense
     vs sharded collectives).
 
-    Returns (Spad, Qpad, info) with info 0 on success, 1 on failed
-    convergence (iteration limit or window-solve failure).
+    ``state`` is an int32[5] resume vector [ihi, it_seg, last_ihi, fail,
+    rounds] (None = fresh start) and ``rcap`` a round budget for THIS
+    dispatch: the tunneled TPU enforces a hard ~60 s per-execution limit
+    (measured: a 45 s dispatch completes, a >60 s one kills the worker),
+    so the host driver re-dispatches the program in round chunks, reading
+    back only the 20-byte state between chunks.
+
+    Returns (Spad, Qpad, state) — converged when state[0] == 0 or
+    state[3] != 0 (failure).
     """
     if n is None:
         n = Spad.shape[0] - 2 * P
+    if state is None:
+        state = jnp.stack([jnp.int32(n), jnp.int32(0), jnp.int32(n),
+                           jnp.int32(0), jnp.int32(0)])
+    if rcap is None:
+        rcap = jnp.int32(2 * n + 10)
 
     def cond(st):
         Spad, Qpad, ihi, it_seg, last_ihi, fail, rounds = st
-        return (ihi > 0) & (~fail) & (rounds < 2 * n + 10)
+        return (ihi > 0) & (fail == 0) & (rounds < 2 * n + 10) & \
+            (rounds < rcap)
 
     def body(st):
         Spad, Qpad, ihi, it_seg, last_ihi, fail, rounds = st
@@ -759,22 +773,22 @@ def _schur_iter(Spad, Qpad, thresh, eyeW, eyeWC,
             P=P, WA=WA, NS=NS, B=B, TMAX=TMAX, nibble=nibble, ext=ext)
         new_ihi, l, ntr, sfail, nd, npairs = (status[i] for i in range(6))
         it_seg = jnp.where(new_ihi != last_ihi, 0, it_seg) + 1
-        fail = (sfail != 0) | (it_seg > itmax)
+        fail = ((sfail != 0) | (it_seg > itmax)).astype(jnp.int32)
 
         def sweeps(ops):
             Spad, Qpad = ops
             return _sweep_wave(Spad, Qpad, eyeWC, P + l, P + new_ihi,
                                shifts, ntr, G=TMAX, B=B, ext=ext)
 
-        Spad, Qpad = lax.cond((ntr > 0) & (~fail), sweeps,
+        Spad, Qpad = lax.cond((ntr > 0) & (fail == 0), sweeps,
                               lambda ops: ops, (Spad, Qpad))
-        return (Spad, Qpad, jnp.where(fail, ihi, new_ihi), it_seg,
+        return (Spad, Qpad, jnp.where(fail != 0, ihi, new_ihi), it_seg,
                 new_ihi, fail, rounds + 1)
 
-    st = (Spad, Qpad, jnp.int32(n), jnp.int32(0), jnp.int32(n),
-          jnp.bool_(False), jnp.int32(0))
-    Spad, Qpad, ihi, _, _, fail, _ = lax.while_loop(cond, body, st)
-    return Spad, Qpad, fail.astype(jnp.int32)
+    st = (Spad, Qpad, state[0], state[1], state[2], state[3], state[4])
+    Spad, Qpad, ihi, it_seg, last_ihi, fail, rounds = lax.while_loop(
+        cond, body, st)
+    return Spad, Qpad, jnp.stack([ihi, it_seg, last_ihi, fail, rounds])
 
 
 _schur_fused = functools.partial(jax.jit, donate_argnums=(0, 1),
@@ -864,10 +878,30 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     eyeW = jnp.eye(WA, dtype=dtype)
     eyeWC = jnp.eye(WC, dtype=dtype)
 
-    Spad, Qpad, fail = _schur_fused(
-        Spad, Qpad, thresh, eyeW, eyeWC, P=P, WA=WA, NS=NS, B=B,
-        TMAX=TMAX, nibble=conf.aed_nibble, itmax=conf.iteration_limit)
-    info = Error.DID_NOT_CONVERGE if int(fail) else Error.SUCCESS
+    # chunked dispatch: the device program runs at most ``rk`` AED rounds
+    # per execution (the tunneled TPU kills executions beyond ~60 s; see
+    # _schur_iter).  Between chunks only the 20-byte state vector comes
+    # back; the chunk size adapts toward ~15 s per dispatch.
+    import time as _time
+
+    state = jnp.stack([jnp.int32(n), jnp.int32(0), jnp.int32(n),
+                       jnp.int32(0), jnp.int32(0)])
+    rk = max(2, min(64, 4_000_000 // max(n * WA, 1)))
+    rounds_done = 0
+    while True:
+        t0 = _time.time()
+        Spad, Qpad, state = _schur_fused(
+            Spad, Qpad, thresh, eyeW, eyeWC, state=state, rcap=jnp.int32(rk),
+            P=P, WA=WA, NS=NS, B=B,
+            TMAX=TMAX, nibble=conf.aed_nibble, itmax=conf.iteration_limit)
+        st = np.asarray(state)
+        dt = max(_time.time() - t0, 1e-3)
+        if st[0] <= 0 or st[3] != 0 or st[4] >= 2 * n + 10:
+            break
+        executed = max(int(st[4]) - rounds_done, 1)
+        rounds_done = int(st[4])
+        rk = int(np.clip(executed * 15.0 / dt, 1, 256)) + rounds_done
+    info = Error.DID_NOT_CONVERGE if int(st[3]) else Error.SUCCESS
 
     S = lax.dynamic_slice(Spad, (P, P), (n, n))
     Qf = lax.dynamic_slice(Qpad, (0, P), (n, n))

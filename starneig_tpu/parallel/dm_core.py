@@ -279,8 +279,9 @@ def schur_dm(H, Q=None, mesh: Optional[Mesh] = None,
         out_specs=(PSpec(None, axname), PSpec(None, axname), PSpec())),
         donate_argnums=(0, 1))
 
-    Spad, Qpad, fail = fused(Spad, Qpad, thresh, eyeW, eyeWC)
-    info = Error.DID_NOT_CONVERGE if int(fail) else Error.SUCCESS
+    Spad, Qpad, state = fused(Spad, Qpad, thresh, eyeW, eyeWC)
+    info = Error.DID_NOT_CONVERGE if int(np.asarray(state)[3]) \
+        else Error.SUCCESS
 
     @jax.jit
     def finish(Spad, Qpad):
