@@ -846,7 +846,25 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     n = H.shape[0]
     dtype = H.dtype
     Q = jnp.eye(n, dtype=dtype) if Q is None else jnp.asarray(Q)
-    conf = (conf or SchurConf()).resolve(n)
+    user_conf = conf or SchurConf()
+    auto_aed = user_conf.aed_window_size == -1
+    auto_ns = user_conf.aed_shift_count == -1
+    conf = user_conf.resolve(n)
+    if jax.default_backend() == "tpu" and n >= 1500:
+        # latency-aware AED sizing: the reference's 0.08n window
+        # (process_args.c:116-138) amortizes over a CPU task pool; on TPU
+        # the window Francis is serial device steps, so total serial cost
+        # ~ 3 n WA + 4 n^2 / WA is minimized near WA ~ sqrt(n).  Only
+        # applied to auto-sized configs; explicit expert values win.
+        import math as _math
+        if auto_aed:
+            conf.aed_window_size = min(
+                conf.aed_window_size,
+                max(64, int(2.2 * _math.sqrt(n) / 8) * 8))
+        if auto_ns:
+            conf.aed_shift_count = min(
+                conf.aed_shift_count,
+                max(32, (3 * conf.aed_window_size // 4) // 2 * 2))
 
     if n <= min(conf.small_limit, 300):
         # whole problem below the small limit: one Francis dispatch
