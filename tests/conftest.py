@@ -23,5 +23,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# the suite is compile-dominated (windowed kernels, 2-15 s each on CPU);
+# the repo-local persistent cache amortizes them across runs
+from starneig_tpu.node import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

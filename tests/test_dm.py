@@ -73,6 +73,23 @@ def test_schur_dm_collective_structure():
            ("all_gather" in txt) or ("all-gather" in txt)
 
 
+def test_hessenberg_dm_collective_structure():
+    """The sharded Hessenberg compiles to a partitioned SPMD program with
+    collectives (GSPMD path: jit over NamedSharding inputs)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from starneig_tpu.ops.hessenberg import _panel
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P(None, "d"))
+    n, nb = 128, 16
+    A = jax.device_put(jnp.asarray(random_dense(n, seed=5)), sh)
+    lowered = jax.jit(lambda A: _panel(A, 0, nb)).lower(A)
+    txt = lowered.compile().as_text()
+    assert ("all-reduce" in txt) or ("all-gather" in txt) or \
+        ("collective-permute" in txt)
+
+
 def test_schur_dm_matches_dense():
     """Sharded fused solve == dense fused solve (same mathematics through
     ShardedExtent's psum panel gathers)."""
