@@ -107,6 +107,14 @@ def main():
     res = float(np.linalg.norm(Q_np @ S_np @ Q_np.T - A_np) / nrm / u)
     orth = float(np.linalg.norm(Q_np @ Q_np.T - np.eye(n)) / np.sqrt(n) / u)
 
+    # this TPU's f64 is ~47-bit float-float emulation (measured per-op:
+    # mul 60u, div 109u, sqrt 165u — see PLAN_r4.md); residuals in units
+    # of the DEVICE epsilon are the apples-to-apples accuracy figure
+    # (CPU true-f64 delivers 85u at n=2000, ACCURACY_r03.json)
+    device_eps = 2.0 ** -47 if jax.default_backend() == "tpu" else u
+    res_dev = res * u / device_eps
+    orth_dev = orth * u / device_eps
+
     from starneig_tpu.node import verify_backend
     backend_defect = verify_backend()
 
@@ -128,6 +136,8 @@ def main():
             "schur_ms": round(t_schur * 1e3, 1),
             "residual_u": round(res, 1),
             "orthogonality_u": round(orth, 1),
+            "residual_device_u": round(res_dev, 1),
+            "orthogonality_device_u": round(orth_dev, 1),
             "info": int(info),
             "n": n,
             "dtype": str(np.dtype(dtype)),

@@ -106,13 +106,16 @@ def _sweep(Hp, Zp, l, i, sr1, si1, sr2, si2):
         rows = rows - tau * jnp.outer(v, sums)
         Hp = lax.dynamic_update_slice(Hp, rows, (k, k * 0))
 
-        def fix_col(Hp):
-            patch = jnp.stack([beta, 0.0 * beta,
-                               jnp.where(use3, 0.0, Hp[k + 2, jnp.maximum(k - 1, 0)])])
-            return lax.dynamic_update_slice(Hp, patch[:, None],
-                                            (k, jnp.maximum(k - 1, 0)))
-
-        Hp = lax.cond(active & (k_real > l), fix_col, lambda H: H, Hp)
+        # plant the exact chase column (masked — a per-step lax.cond costs
+        # a dispatch-visible branch on TPU)
+        fix = active & (k_real > l)
+        km1 = jnp.maximum(k - 1, 0)
+        old = lax.dynamic_slice(Hp, (k, km1), (3, 1))[:, 0]
+        patch = jnp.stack([
+            jnp.where(fix, beta, old[0]),
+            jnp.where(fix, 0.0, old[1]),
+            jnp.where(fix & use3, 0.0, old[2])])
+        Hp = lax.dynamic_update_slice(Hp, patch[:, None], (k, km1))
 
         cols = lax.dynamic_slice(Hp, (k * 0, k), (wp, 3))
         sums = cols @ v
