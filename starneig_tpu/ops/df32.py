@@ -25,31 +25,43 @@ import jax.numpy as jnp
 _SPLITTER = 4097.0
 
 
+from jax import lax as _lax
+
+
+def _guard(*xs):
+    """Optimization barrier: XLA CPU's algebraic simplifier rewrites the
+    error-free-transform identities when the ops fuse (measured: a jitted
+    df householder loses 5 decimal digits vs its own eager evaluation;
+    TPU/Mosaic compile unaffected).  The barrier pins the evaluation order.
+    """
+    return _lax.optimization_barrier(xs)
+
+
 def two_sum(a, b):
     """Exact sum: a + b = s + e with s = fl(a+b)."""
-    s = a + b
-    v = s - a
+    s, = _guard(a + b)
+    v, = _guard(s - a)
     e = (a - (s - v)) + (b - v)
     return s, e
 
 
 def fast_two_sum(a, b):
     """Exact sum assuming |a| >= |b|."""
-    s = a + b
+    s, = _guard(a + b)
     e = b - (s - a)
     return s, e
 
 
 def split(a):
     """Dekker split: a = hi + lo with 12-bit halves (exact products)."""
-    t = _SPLITTER * a
-    hi = t - (t - a)
+    t, = _guard(_SPLITTER * a)
+    hi, = _guard(t - (t - a))
     return hi, a - hi
 
 
 def two_prod(a, b):
     """Exact product: a * b = p + e with p = fl(a*b)."""
-    p = a * b
+    p, = _guard(a * b)
     ah, al = split(a)
     bh, bl = split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -86,22 +98,67 @@ def df_mul_f32(x, c):
 
 
 def df_div(x, y):
-    """(hi, lo) / (hi, lo): one Newton refinement of the f32 quotient."""
-    q1 = x[0] / y[0]
-    # r = x - q1 * y (df-accurate remainder)
-    r = df_sub(x, df_mul_f32(y, q1))
-    q2 = (r[0] + r[1]) / y[0]
-    return fast_two_sum(q1, q2)
+    """(hi, lo) / (hi, lo), division-free after the seed.
+
+    XLA CPU lowers jitted f32 division/sqrt through ~1e-4 approximation
+    sequences in some fusion contexts (measured), so refinements must not
+    themselves divide: Newton-refine the reciprocal with exact multiplies,
+    then correct with df remainders.
+    """
+    yh = y[0]
+    r0 = 1.0 / yh
+    r0 = r0 * (2.0 - yh * r0)
+    r0 = r0 * (2.0 - yh * r0)           # full f32 accuracy regardless of seed
+    q1 = x[0] * r0
+    rem = df_sub(x, df_mul_f32(y, q1))
+    q2 = (rem[0] + rem[1]) * r0
+    q12 = fast_two_sum(q1, q2)
+    rem2 = df_sub(x, df_mul(y, q12))
+    q3 = (rem2[0] + rem2[1]) * r0
+    s, e = two_sum(q12[0], q3)
+    return fast_two_sum(s, e + q12[1])
 
 
 def df_sqrt(x):
-    """sqrt of a nonneg df value: Newton step on the f32 root."""
-    s1 = jnp.sqrt(x[0])
-    safe = jnp.where(s1 > 0, s1, jnp.float32(1.0))
-    # r = x - s1^2 ; correction r / (2 s1)
+    """sqrt of a nonneg df value, division-free after the rsqrt seed
+    (see df_div for why refinements must avoid div/sqrt ops)."""
+    xh = x[0]
+    pos = xh > 0
+    xs = jnp.where(pos, xh, jnp.float32(1.0))
+    y = jax.lax.rsqrt(xs)
+    y = y * (1.5 - 0.5 * xs * y * y)
+    y = y * (1.5 - 0.5 * xs * y * y)    # full f32 rsqrt regardless of seed
+    s1 = xs * y
     r = df_sub(x, two_prod(s1, s1))
-    s2 = jnp.where(s1 > 0, (r[0] + r[1]) / (2.0 * safe), jnp.float32(0.0))
+    s1 = s1 + (r[0] + r[1]) * (0.5 * y)
+    r = df_sub(x, two_prod(s1, s1))
+    s2 = (r[0] + r[1]) * (0.5 * y)
+    s1 = jnp.where(pos, s1, jnp.float32(0.0))
+    s2 = jnp.where(pos, s2, jnp.float32(0.0))
     return fast_two_sum(s1, s2)
+
+
+def df_sum_axis1(x):
+    """df32 row sums of an (R, W) pair, W a power of two: pairwise
+    halving tree of df_add (log2 W steps).  jnp.sum on the components
+    collapses accuracy to f32 (measured 1.6e-9 after 1e3 steps) — the
+    tree keeps the compensation terms."""
+    hi, lo = x
+    while hi.shape[-1] > 1:
+        half = hi.shape[-1] // 2
+        a = (hi[..., :half], lo[..., :half])
+        b = (hi[..., half:], lo[..., half:])
+        hi, lo = df_add(a, b)
+    return hi[..., 0], lo[..., 0]
+
+
+def df_where(c, x, y):
+    return (jnp.where(c, x[0], y[0]), jnp.where(c, x[1], y[1]))
+
+
+def df_abs(x):
+    neg = x[0] < 0
+    return (jnp.where(neg, -x[0], x[0]), jnp.where(neg, -x[1], x[1]))
 
 
 def df_from_f64(a):
@@ -114,3 +171,128 @@ def df_from_f64(a):
 def df_to_f64(x):
     """Recombine an (hi, lo) pair into f64 (host/XLA side)."""
     return x[0].astype(jnp.float64) + x[1].astype(jnp.float64)
+
+
+# ---------------------------------------------------------------------------
+# Df: operator-overloaded view so the LAPACK-style primitive algorithms
+# (householder / givens / eig2x2 / dlanv2 / dlaqr1 in ops/primitives.py)
+# port mechanically into Pallas kernels at df precision.
+# ---------------------------------------------------------------------------
+
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
+class Df:
+    """A double-float value (hi + lo, both f32). Arithmetic via the EFTs
+    above; comparisons use the hi component (ample for branch decisions —
+    branch boundaries are continuous in the algorithms used here)."""
+
+    __slots__ = ("hi", "lo")
+
+    def __init__(self, hi, lo=None):
+        self.hi = jnp.asarray(hi, jnp.float32)
+        self.lo = (jnp.zeros_like(self.hi) if lo is None
+                   else jnp.asarray(lo, jnp.float32))
+
+    def tree_flatten(self):
+        return (self.hi, self.lo), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def pair(self):
+        return (self.hi, self.lo)
+
+    @staticmethod
+    def _coerce(v):
+        return v if isinstance(v, Df) else Df(jnp.float32(v))
+
+    def __add__(self, o):
+        return Df(*df_add(self.pair, Df._coerce(o).pair))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return Df(*df_sub(self.pair, Df._coerce(o).pair))
+
+    def __rsub__(self, o):
+        return Df(*df_sub(Df._coerce(o).pair, self.pair))
+
+    def __mul__(self, o):
+        return Df(*df_mul(self.pair, Df._coerce(o).pair))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return Df(*df_div(self.pair, Df._coerce(o).pair))
+
+    def __rtruediv__(self, o):
+        return Df(*df_div(Df._coerce(o).pair, self.pair))
+
+    def __neg__(self):
+        return Df(-self.hi, -self.lo)
+
+    # comparisons on hi (+lo for the zero tests, which gate exact branches)
+    def __lt__(self, o):
+        return self.hi < Df._coerce(o).hi
+
+    def __le__(self, o):
+        return self.hi <= Df._coerce(o).hi
+
+    def __gt__(self, o):
+        return self.hi > Df._coerce(o).hi
+
+    def __ge__(self, o):
+        return self.hi >= Df._coerce(o).hi
+
+    def eq0(self):
+        return (self.hi == 0) & (self.lo == 0)
+
+    def ne0(self):
+        return ~self.eq0()
+
+
+def dfw(c, x, y):
+    """where() over Df values (c broadcastable bool)."""
+    x, y = Df._coerce(x), Df._coerce(y)
+    return Df(jnp.where(c, x.hi, y.hi), jnp.where(c, x.lo, y.lo))
+
+
+def dfabs(x):
+    return dfw(x.hi < 0, -x, x)
+
+
+def dfmax(x, y):
+    return dfw(x.hi >= Df._coerce(y).hi, x, y)
+
+
+def dfmin(x, y):
+    return dfw(x.hi <= Df._coerce(y).hi, x, y)
+
+
+def dfsqrt(x):
+    return Df(*df_sqrt(x.pair))
+
+
+def dfsign(x):
+    """sign with sign(0) == +1 (Fortran SIGN semantics)."""
+    return dfw(x.hi >= 0, Df(jnp.float32(1.0)), Df(jnp.float32(-1.0)))
+
+
+def df_safe_div(num, den):
+    ok = den.ne0()
+    return dfw(ok, num / dfw(ok, den, Df(jnp.float32(1.0))),
+               Df(jnp.float32(0.0)))
+
+
+def dfhypot2(x, y):
+    """Robust sqrt(x^2 + y^2) (dlapy2) in df."""
+    ax, ay = dfabs(x), dfabs(y)
+    w = dfmax(ax, ay)
+    z = dfmin(ax, ay)
+    r = df_safe_div(z, w)
+    return dfw(w.eq0(), Df(jnp.float32(0.0)),
+               w * dfsqrt(r * r + Df(jnp.float32(1.0))))
