@@ -291,9 +291,13 @@ def main(argv=None):
         # in docs/_7_test_driver.md:148)
         nsel = int(out["nsel"])
         if args.generalized:
-            lead = (np.asarray(out["ar"]) + 1j * np.asarray(out["ai"]))[:nsel]
-            err = hk.eigenvalue_error(lead, out["pre_alpha"]) \
-                if nsel else 0.0
+            # (alpha, beta) pairs are only defined up to per-eigenvalue
+            # scaling — compare via the chordal metric, which is scaling
+            # invariant (raw alpha distance would FAIL on a rescaled pair)
+            err = hk.chordal_eigenvalue_error(
+                np.asarray(out["ar"])[:nsel], np.asarray(out["ai"])[:nsel],
+                np.asarray(out["bt"])[:nsel],
+                out["pre_alpha"], out["pre_beta"]) if nsel else 0.0
         else:
             lead = (np.asarray(out["er"]) + 1j * np.asarray(out["ei"]))[:nsel]
             err = hk.eigenvalue_error(lead, out["pre_eig"]) if nsel else 0.0

@@ -24,8 +24,37 @@ import jax.numpy as jnp
 # captured array consts)
 _SPLITTER = 4097.0
 
+import numpy as _np0
+# f32 scalars for jnp.where branches: weak Python floats leave f64
+# literals in the jaxpr, which the Mosaic TPU compiler cannot lay out
+_F32_ZERO = _np0.float32(0.0)
+_F32_ONE = _np0.float32(1.0)
+
 
 from jax import lax as _lax
+
+
+_GUARD_OFF = False
+
+
+class no_guard:
+    """Context manager disabling the EFT optimization barriers.
+
+    Used while TRACING compiled Pallas TPU kernels: Mosaic has no lowering
+    for ``optimization_barrier``, and (unlike XLA CPU's algebraic
+    simplifier) it does not reassociate float arithmetic, so the
+    error-free transforms survive without the barrier.  Interpret-mode
+    kernels execute through XLA CPU and keep the barriers.
+    """
+
+    def __enter__(self):
+        global _GUARD_OFF
+        self._prev = _GUARD_OFF
+        _GUARD_OFF = True
+
+    def __exit__(self, *exc):
+        global _GUARD_OFF
+        _GUARD_OFF = self._prev
 
 
 def _guard(*xs):
@@ -34,6 +63,8 @@ def _guard(*xs):
     df householder loses 5 decimal digits vs its own eager evaluation;
     TPU/Mosaic compile unaffected).  The barrier pins the evaluation order.
     """
+    if _GUARD_OFF:
+        return xs
     return _lax.optimization_barrier(xs)
 
 
@@ -124,7 +155,7 @@ def df_sqrt(x):
     (see df_div for why refinements must avoid div/sqrt ops)."""
     xh = x[0]
     pos = xh > 0
-    xs = jnp.where(pos, xh, jnp.float32(1.0))
+    xs = jnp.where(pos, xh, _F32_ONE)
     y = jax.lax.rsqrt(xs)
     y = y * (1.5 - 0.5 * xs * y * y)
     y = y * (1.5 - 0.5 * xs * y * y)    # full f32 rsqrt regardless of seed
@@ -133,8 +164,8 @@ def df_sqrt(x):
     s1 = s1 + (r[0] + r[1]) * (0.5 * y)
     r = df_sub(x, two_prod(s1, s1))
     s2 = (r[0] + r[1]) * (0.5 * y)
-    s1 = jnp.where(pos, s1, jnp.float32(0.0))
-    s2 = jnp.where(pos, s2, jnp.float32(0.0))
+    s1 = jnp.where(pos, s1, _F32_ZERO)
+    s2 = jnp.where(pos, s2, _F32_ZERO)
     return fast_two_sum(s1, s2)
 
 
@@ -180,6 +211,18 @@ def df_to_f64(x):
 # ---------------------------------------------------------------------------
 
 import jax
+import numpy as _np
+
+
+def _as32(v):
+    """To f32, keeping Python/numpy scalars as NUMPY scalars: they inline
+    as jaxpr literals, while ``jnp.asarray`` creates a device constant that
+    Pallas rejects as a captured const inside kernels."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return _np.float32(v)
+    if isinstance(v, _np.floating):
+        return _np.float32(v)
+    return jnp.asarray(v, jnp.float32)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -191,9 +234,12 @@ class Df:
     __slots__ = ("hi", "lo")
 
     def __init__(self, hi, lo=None):
-        self.hi = jnp.asarray(hi, jnp.float32)
-        self.lo = (jnp.zeros_like(self.hi) if lo is None
-                   else jnp.asarray(lo, jnp.float32))
+        self.hi = _as32(hi)
+        if lo is None:
+            self.lo = (_np.float32(0.0) if isinstance(self.hi, _np.floating)
+                       else jnp.zeros_like(self.hi))
+        else:
+            self.lo = _as32(lo)
 
     def tree_flatten(self):
         return (self.hi, self.lo), None
@@ -208,7 +254,7 @@ class Df:
 
     @staticmethod
     def _coerce(v):
-        return v if isinstance(v, Df) else Df(jnp.float32(v))
+        return v if isinstance(v, Df) else Df(v)
 
     def __add__(self, o):
         return Df(*df_add(self.pair, Df._coerce(o).pair))
@@ -279,13 +325,13 @@ def dfsqrt(x):
 
 def dfsign(x):
     """sign with sign(0) == +1 (Fortran SIGN semantics)."""
-    return dfw(x.hi >= 0, Df(jnp.float32(1.0)), Df(jnp.float32(-1.0)))
+    return dfw(x.hi >= 0, Df(1.0), Df(-1.0))
 
 
 def df_safe_div(num, den):
     ok = den.ne0()
-    return dfw(ok, num / dfw(ok, den, Df(jnp.float32(1.0))),
-               Df(jnp.float32(0.0)))
+    return dfw(ok, num / dfw(ok, den, Df(1.0)),
+               Df(0.0))
 
 
 def dfhypot2(x, y):
@@ -294,5 +340,5 @@ def dfhypot2(x, y):
     w = dfmax(ax, ay)
     z = dfmin(ax, ay)
     r = df_safe_div(z, w)
-    return dfw(w.eq0(), Df(jnp.float32(0.0)),
-               w * dfsqrt(r * r + Df(jnp.float32(1.0))))
+    return dfw(w.eq0(), Df(0.0),
+               w * dfsqrt(r * r + Df(1.0)))

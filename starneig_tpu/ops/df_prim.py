@@ -16,11 +16,11 @@ from starneig_tpu.ops.df32 import (
 
 
 def _zero():
-    return Df(jnp.float32(0.0))
+    return Df(0.0)
 
 
 def _one():
-    return Df(jnp.float32(1.0))
+    return Df(1.0)
 
 
 def df_givens(f, g):
@@ -63,26 +63,26 @@ def df_eig2x2(a, b, c, d):
     sc = dfabs(a) + dfabs(b) + dfabs(c) + dfabs(d)
     sc = dfw(sc.eq0(), _one(), sc)
     a, b, c, d = a / sc, b / sc, c / sc, d / sc
-    p = Df(jnp.float32(0.5)) * (a - d)
+    p = Df(0.5) * (a - d)
     bc = b * c
     disc = p * p + bc
     sq = dfsqrt(dfabs(disc))
     real_case = disc.hi >= 0
     z = p + dfsign(p) * sq
-    half_tr = Df(jnp.float32(0.5)) * (a + d)
+    half_tr = Df(0.5) * (a + d)
     lam1_r = dfw(real_case, d + z, half_tr)
     lam2_r = dfw(real_case, dfw(z.eq0(), d, d - df_safe_div(bc, z)), half_tr)
     lam1_i = dfw(real_case, _zero(), sq)
     return lam1_r * sc, lam1_i * sc, lam2_r * sc, -(lam1_i * sc)
 
 
-def df_standardize_2x2(a, b, c, d, eps32=jnp.float32(2 ** -45)):
+def df_standardize_2x2(a, b, c, d, eps32=float(2 ** -45)):
     """dlanv2: standardize a real 2x2 Schur block at df precision.
 
     Returns (aa, bb, cc, dd, cs, sn); eigenvalues follow from the block.
     ``eps32`` is the effective df epsilon used in the real/complex gate.
     """
-    half = Df(jnp.float32(0.5))
+    half = Df(0.5)
     temp0 = a - d
     p0 = half * temp0
     bcmax = dfmax(dfabs(b), dfabs(c))
@@ -120,7 +120,7 @@ def df_standardize_2x2(a, b, c, d, eps32=jnp.float32(2 ** -45)):
     sac = dfsqrt(dfabs(c1))
     p1 = dfsign(c1) * sab * sac
     bc_sum = dfabs(b1 + c1)
-    tau1 = df_safe_div(_one(), dfsqrt(dfmax(bc_sum, Df(jnp.float32(1e-37)))))
+    tau1 = df_safe_div(_one(), dfsqrt(dfmax(bc_sum, Df(1e-37))))
     a_i = tmid + p1
     d_i = tmid - p1
     b_i = b1 - c1

@@ -1,0 +1,669 @@
+"""Pallas TPU kernels for the Schur solver's serial window work.
+
+The fused Schur driver (ops/schur.py) is GEMM-rich everywhere except the
+serial in-window steps: the AED window Francis iteration and the bulge
+train hops.  Inside the XLA fused loop each serial step costs 58-210 us
+(measured round 3, PLAN_r4.md); as a Pallas kernel with the whole window
+resident in VMEM a step costs ~1-3 us.  These kernels implement that plan:
+
+  * :func:`small_schur_pallas` — the ENTIRE Francis double-shift state
+    machine (ops/small_schur.py, the dlahqr-equivalent recursion base;
+    the reference runs the same role through LAPACK dhseqr and its own
+    sequential kernel, ``src/schur/cpu_utils.c:2426``) as ONE
+    ``pl.pallas_call``: deflation scan, Wilkinson/exceptional shifts,
+    bulge-chase sweeps, 2x2 standardization — a flat one-step-per-
+    iteration ``lax.while_loop`` over a (mode, i, k, ...) scalar carry.
+
+Arithmetic is df32 (hi/lo f32 pairs, ~2^-47 effective precision — the
+same float-float substrate the platform's own emulated f64 uses; Mosaic
+lowers no f64).  Scalar algorithms come from :mod:`ops.df_prim`; array
+updates use the row-band patterns Mosaic likes:
+
+  * row ranges are ``pl.ds`` slices on the sublane dim (legal);
+  * single columns are read by lane-mask reduction (no dynamic lane-dim
+    slicing on TPU);
+  * column updates run as lane-masked row-chunk passes restricted to the
+    rows a Hessenberg/bulge structure can touch (rows <= k+3), which is
+    what keeps a step near the ~1 us arithmetic bound instead of the
+    29 us whole-array read-modify-write (PLAN_r4.md measurements).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from starneig_tpu.ops.df32 import Df, dfw, dfabs, df_from_f64
+from starneig_tpu.ops.df_prim import (
+    df_householder3, df_eig2x2, df_standardize_2x2, df_first_column_shifted)
+
+# effective df32 epsilon for negligibility tests: per-op df32 error is
+# ~2^-48 typical / 2^-42 worst (tests/test_df32.py); 2^-46 converges and
+# keeps the deflation-induced backward error at a few device-u
+ULP = float(2.0 ** -46)
+ITMAX_PER_BLOCK = 30    # exceptional-shift cadence 10, hard cap (LAPACK)
+_CH = 8                 # row-chunk height for lane-masked column passes
+
+# state-machine modes (flat while_loop: one scan OR one chase step/iter)
+# np scalars: Python ints inside jnp.where recurse during weak-type
+# promotion in x64-mode kernel traces; numpy scalars inline as literals
+_SCAN, _INTRO, _CHASE = np.int32(0), np.int32(1), np.int32(2)
+# f32 scalars for jnp.where branches (weak f64 literals crash Mosaic)
+_F0, _F1 = np.float32(0.0), np.float32(1.0)
+
+
+def _band(hi_ref, lo_ref, r0, rows: int):
+    """(rows, W) Df band starting at dynamic row r0."""
+    return Df(hi_ref[pl.ds(r0, rows), :], lo_ref[pl.ds(r0, rows), :])
+
+
+def _write_row(hi_ref, lo_ref, r, val):
+    hi_ref[pl.ds(r, 1), :] = val.hi
+    lo_ref[pl.ds(r, 1), :] = val.lo
+
+
+def _lane_pick(band, lane, c):
+    """Column c of a (r, W) Df band -> (r, 1) Df (lane-mask reduction)."""
+    m = (lane == c).astype(jnp.float32)
+    return Df(jnp.sum(band.hi * m, axis=1, keepdims=True),
+              jnp.sum(band.lo * m, axis=1, keepdims=True))
+
+
+def _at(col, j: int):
+    """Static row j of an (r, 1) Df column -> scalar Df."""
+    return Df(col.hi[j, 0], col.lo[j, 0])
+
+
+def _row(band, j: int):
+    """Static row j of an (r, W) Df band -> (1, W) Df."""
+    return Df(band.hi[j:j + 1], band.lo[j:j + 1])
+
+
+def _df_shifts(h11, h12, h21, h22, habs, its):
+    """Wilkinson double shift from the trailing 2x2; exceptional every 10
+    iterations (ops/small_schur.py:_shifts recast in df32)."""
+    # its is capped at ITMAX_PER_BLOCK = 30; spelled-out comparisons stand
+    # in for (its % 10 == 0) — the jnp mod operator recurses in x64-mode
+    # Pallas kernel traces (weak-int promotion loop, PLAN_r4.md)
+    exceptional = (its == 10) | (its == 20)
+    e11 = Df(0.75) * habs + h22
+    a = dfw(exceptional, e11, h11)
+    b = dfw(exceptional, Df(-0.4375) * habs, h12)
+    c = dfw(exceptional, habs, h21)
+    d = dfw(exceptional, e11, h22)
+    rt1r, rt1i, rt2r, rt2i = df_eig2x2(a, b, c, d)
+    real_pair = rt1i.eq0()
+    use1 = dfabs(h22 - rt1r).hi <= dfabs(h22 - rt2r).hi
+    sr1 = dfw(real_pair, dfw(use1, rt1r, rt2r), rt1r)
+    sr2 = dfw(real_pair, sr1, rt2r)
+    si1 = dfw(real_pair, Df(0.0), rt1i)
+    return sr1, si1, sr2, -si1
+
+
+def _francis_kernel(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
+                    Shi, Slo, Zohi, Zolo, info, *, W: int,
+                    guard: bool = False):
+    """The Francis state machine.  One flat while_loop; each iteration is
+    a deflation SCAN (mode 0) or one bulge-chase step (modes 1/2).
+
+    Buffers: S (the matrix, hi/lo pair) and Zt (the TRANSPOSED accumulation
+    matrix: Z column updates become row-band updates, the cheap Mosaic
+    orientation; the wrapper transposes at the boundary).
+    """
+    import contextlib
+    from starneig_tpu.ops import df32 as _df32
+    ctx = contextlib.nullcontext() if guard else _df32.no_guard()
+    with ctx:
+        _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
+                      Shi, Slo, Zohi, Zolo, info, W=W)
+
+
+def _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
+                  Shi, Slo, Zohi, Zolo, info, *, W: int):
+    Shi[:] = Hhi[:]
+    Slo[:] = Hlo[:]
+    Zohi[:] = Zthi[:]
+    Zolo[:] = Ztlo[:]
+
+    m = iscal[0]
+    ilo = iscal[1]
+    maxiter = iscal[2]
+    th = fscal[0]
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    rows2 = lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    cols2 = lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    diag_mask = (rows2 == cols2).astype(jnp.float32)
+    sub_mask = (rows2 == cols2 + 1).astype(jnp.float32)
+
+    def col_pass(last_row, update_fn):
+        """Row-chunked pass over rows [0, last_row]: update_fn(band)->band."""
+        def body(c):
+            base = c * _CH
+            Bb = _band(Shi, Slo, base, _CH)
+            Bn = update_fn(Bb)
+            Shi[pl.ds(base, _CH), :] = Bn.hi
+            Slo[pl.ds(base, _CH), :] = Bn.lo
+            return c + np.int32(1)
+
+        lax.while_loop(lambda c: c * _CH <= last_row, body, jnp.int32(0))
+
+    def loop_cond(st):
+        return (st[1] >= ilo) & (st[5] == 0) & (st[4] < maxiter)
+
+    def loop_body(st):
+        (mode, i, k, its, total, failed,
+         s1rh, s1rl, s1ih, s1il, s2rh, s2rl, s2ih, s2il) = st
+        is_scan = mode == _SCAN
+        in_sweep = mode != _SCAN
+        sr1 = Df(s1rh, s1rl)
+        si1 = Df(s1ih, s1il)
+        sr2 = Df(s2rh, s2rl)
+        si2 = Df(s2ih, s2il)
+
+        # ---------------- SCAN: deflation search (hi parts suffice) -------
+        Hh = Shi[:]
+        dh = jnp.sum(Hh * diag_mask, axis=0, keepdims=True)      # d[c]=H[c,c]
+        subh = jnp.sum(Hh * sub_mask, axis=0, keepdims=True)     # H[c+1,c]
+        dnext = pltpu.roll(dh, np.int32(W - 1), 1)               # d[c+1]
+        tst = jnp.abs(dh) + jnp.abs(dnext)
+        neg = jnp.abs(subh) <= jnp.maximum(ULP * tst, th)
+        cand = neg & (lane + 1 > ilo) & (lane + 1 <= i)
+        l_found = jnp.max(jnp.where(cand, lane + 1, ilo)).astype(jnp.int32)
+
+        defl1 = is_scan & (l_found == i)
+        defl2 = is_scan & (l_found == i - 1) & (i >= 1)
+        start_sweep = is_scan & (l_found < i - 1)
+
+        @pl.when(is_scan & (l_found > ilo))
+        def _():
+            r = _band(Shi, Slo, l_found, 1)
+            mz = lane == (l_found - 1)
+            _write_row(Shi, Slo, l_found,
+                       Df(jnp.where(mz, _F0, r.hi), jnp.where(mz, _F0, r.lo)))
+
+        # ---- scalar reads for shifts / 2x2 standardize (rows i-1, i) ----
+        isafe = jnp.maximum(i, 1)
+        T2 = _band(Shi, Slo, isafe - 1, 2)
+        cm2 = _lane_pick(T2, lane, jnp.maximum(isafe - 2, 0))
+        cm1 = _lane_pick(T2, lane, isafe - 1)
+        cc0 = _lane_pick(T2, lane, isafe)
+        h11, h21 = _at(cm1, 0), _at(cm1, 1)
+        h12, h22 = _at(cc0, 0), _at(cc0, 1)
+        him2 = _at(cm2, 0)
+
+        # ---------------- 2x2 deflation (standardize, rotate) ------------
+        @pl.when(defl2)
+        def _():
+            aa, bb, cc2, dd, cs, sn = df_standardize_2x2(h11, h12, h21, h22)
+            # rows first (full width), then columns (they see the new rows),
+            # then plant the exact standardized block — the ordering of
+            # ops/small_schur.py:_deflate_block
+            r0, r1 = _row(T2, 0), _row(T2, 1)
+            _write_row(Shi, Slo, isafe - 1, cs * r0 + sn * r1)
+            _write_row(Shi, Slo, isafe, cs * r1 - sn * r0)
+
+            m0 = lane == isafe - 1
+            m1 = lane == isafe
+
+            def rot_cols(Bb):
+                b0 = _lane_pick(Bb, lane, isafe - 1)
+                b1 = _lane_pick(Bb, lane, isafe)
+                n0 = cs * b0 + sn * b1
+                n1 = cs * b1 - sn * b0
+                return Df(jnp.where(m0, n0.hi, jnp.where(m1, n1.hi, Bb.hi)),
+                          jnp.where(m0, n0.lo, jnp.where(m1, n1.lo, Bb.lo)))
+
+            col_pass(i, rot_cols)
+
+            B2 = _band(Shi, Slo, isafe - 1, 2)
+            top = _row(B2, 0)
+            bot = _row(B2, 1)
+            top_h = jnp.where(m0, aa.hi, jnp.where(m1, bb.hi, top.hi))
+            top_l = jnp.where(m0, aa.lo, jnp.where(m1, bb.lo, top.lo))
+            bot_h = jnp.where(m0, cc2.hi, jnp.where(m1, dd.hi, bot.hi))
+            bot_l = jnp.where(m0, cc2.lo, jnp.where(m1, dd.lo, bot.lo))
+            _write_row(Shi, Slo, isafe - 1, Df(top_h, top_l))
+            _write_row(Shi, Slo, isafe, Df(bot_h, bot_l))
+
+            Zb = _band(Zohi, Zolo, isafe - 1, 2)
+            z0, z1 = _row(Zb, 0), _row(Zb, 1)
+            _write_row(Zohi, Zolo, isafe - 1, cs * z0 + sn * z1)
+            _write_row(Zohi, Zolo, isafe, cs * z1 - sn * z0)
+
+        # ---------------- shifts for a starting sweep ---------------------
+        habs = dfabs(h21) + dfabs(him2)
+        nsr1, nsi1, nsr2, nsi2 = _df_shifts(h11, h12, h21, h22, habs, its)
+        sr1 = dfw(start_sweep, nsr1, sr1)
+        si1 = dfw(start_sweep, nsi1, si1)
+        sr2 = dfw(start_sweep, nsr2, sr2)
+        si2 = dfw(start_sweep, nsi2, si2)
+
+        # ---------------- SWEEP: one chase step at column k ---------------
+        @pl.when(in_sweep)
+        def _():
+            use3 = k <= i - 2
+            intro = mode == _INTRO
+            R = _band(Shi, Slo, k, 3)
+            xm1 = _lane_pick(R, lane, k - 1)
+            c0 = _lane_pick(R, lane, k)
+            c1 = _lane_pick(R, lane, k + 1)
+            c2 = _lane_pick(R, lane, k + 2)
+            hblk = ((_at(c0, 0), _at(c1, 0), _at(c2, 0)),
+                    (_at(c0, 1), _at(c1, 1), _at(c2, 1)),
+                    (_at(c0, 2), _at(c1, 2), _at(c2, 2)))
+            vi0, vi1, vi2 = df_first_column_shifted(
+                hblk, sr1, si1, sr2, si2, use3)
+            x0 = dfw(intro, vi0, _at(xm1, 0))
+            x1 = dfw(intro, vi1, _at(xm1, 1))
+            x2 = dfw(intro, vi2, dfw(use3, _at(xm1, 2), Df(0.0)))
+            v1, v2, tau, beta = df_householder3(x0, x1, x2, use3)
+
+            # left update on rows k..k+2 (full width)
+            r0, r1, r2 = _row(R, 0), _row(R, 1), _row(R, 2)
+            wl = r0 + v1 * r1 + v2 * r2
+            tw = tau * wl
+            r0n = r0 - tw
+            r1n = r1 - v1 * tw
+            r2n = r2 - v2 * tw
+            # plant the exact chase column (chase steps only)
+            pm = (lane == k - 1) & ~intro
+            r0n = Df(jnp.where(pm, beta.hi, r0n.hi),
+                     jnp.where(pm, beta.lo, r0n.lo))
+            r1n = Df(jnp.where(pm, _F0, r1n.hi), jnp.where(pm, _F0, r1n.lo))
+            pm3 = pm & use3
+            r2n = Df(jnp.where(pm3, _F0, r2n.hi), jnp.where(pm3, _F0, r2n.lo))
+            _write_row(Shi, Slo, k, r0n)
+            _write_row(Shi, Slo, k + 1, r1n)
+            _write_row(Shi, Slo, k + 2, r2n)
+
+            # right update on rows 0..k+3 (columns k..k+2, lane-masked)
+            vl_h = (jnp.where(lane == k, _F1, _F0)
+                    + jnp.where(lane == k + 1, v1.hi, _F0)
+                    + jnp.where(lane == k + 2, v2.hi, _F0))
+            vl_l = (jnp.where(lane == k + 1, v1.lo, _F0)
+                    + jnp.where(lane == k + 2, v2.lo, _F0))
+            vlane = Df(vl_h, vl_l)
+
+            def right_update(Bb):
+                b0 = _lane_pick(Bb, lane, k)
+                b1 = _lane_pick(Bb, lane, k + 1)
+                b2 = _lane_pick(Bb, lane, k + 2)
+                wch = b0 + v1 * b1 + v2 * b2
+                return Bb - (tau * wch) * vlane
+
+            col_pass(k + 3, right_update)
+
+            # Zt rows k..k+2 (Z columns k..k+2)
+            Zb = _band(Zohi, Zolo, k, 3)
+            z0, z1, z2 = _row(Zb, 0), _row(Zb, 1), _row(Zb, 2)
+            wz = z0 + v1 * z1 + v2 * z2
+            twz = tau * wz
+            _write_row(Zohi, Zolo, k, z0 - twz)
+            _write_row(Zohi, Zolo, k + 1, z1 - v1 * twz)
+            _write_row(Zohi, Zolo, k + 2, z2 - v2 * twz)
+
+        # ---------------- carry updates -----------------------------------
+        sweep_done = in_sweep & (k + 1 > i - 1)
+        new_mode = jnp.where(is_scan,
+                             jnp.where(start_sweep, _INTRO, _SCAN),
+                             jnp.where(sweep_done, _SCAN, _CHASE))
+        new_i = jnp.where(defl1, i - 1, jnp.where(defl2, i - 2, i))
+        new_k = jnp.where(start_sweep, l_found,
+                          jnp.where(in_sweep, k + 1, k))
+        new_its = jnp.where(defl1 | defl2, np.int32(0),
+                            jnp.where(sweep_done, its + 1, its))
+        new_total = total + (defl1 | defl2 | sweep_done).astype(jnp.int32)
+        new_failed = jnp.where(sweep_done & (its + 1 >= ITMAX_PER_BLOCK),
+                               np.int32(1), failed)
+        return (new_mode.astype(jnp.int32), new_i.astype(jnp.int32),
+                new_k.astype(jnp.int32), new_its.astype(jnp.int32),
+                new_total, new_failed,
+                sr1.hi, sr1.lo, si1.hi, si1.lo,
+                sr2.hi, sr2.lo, si2.hi, si2.lo)
+
+    z32 = jnp.int32(0)
+    zf = jnp.float32(0.0)
+    st = (z32, (m - 1).astype(jnp.int32), z32, z32, z32, z32,
+          zf, zf, zf, zf, zf, zf, zf, zf)
+    st = lax.while_loop(loop_cond, loop_body, st)
+    info[0] = jnp.where(st[5] != 0, st[1] + 1,
+                    np.int32(0)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+def _francis_call(iscal, fscal, Hhi, Hlo, Zthi, Ztlo, W: int,
+                  interpret: bool = False):
+    out_shape = (
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+    )
+    return pl.pallas_call(
+        functools.partial(_francis_kernel, W=W, guard=interpret),
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(iscal, fscal, Hhi, Hlo, Zthi, Ztlo)
+
+
+def small_schur_pallas(H, Z, m, thresh=0.0, ilo=0, max_total_iter=0,
+                       interpret: bool = False):
+    """Drop-in Pallas/df32 implementation of :func:`ops.small_schur.small_schur`.
+
+    H, Z are (w, w) f64 arrays (JAX emulated f64 on TPU); m the dynamic
+    active size; thresh the absolute deflation floor.  Returns (S, Z, info)
+    with identical semantics.  The kernel buffer is padded to the next
+    multiple of 128 with 2 guard rows (the 3-row chase band may touch row
+    m), and Z travels transposed (see :func:`_francis_kernel`).
+    """
+    H = jnp.asarray(H)
+    Z = jnp.asarray(Z)
+    w = H.shape[0]
+    dtype = H.dtype
+    # Mosaic supports UNALIGNED dynamic sublane bands only within a single
+    # 128-lane tile (measured: multi-row pl.ds at W=256 demands 8-aligned
+    # starts) — the kernel therefore runs at W=128, windows up to 126
+    W = 128
+    if w + 2 > W:
+        raise ValueError(f"small_schur_pallas window {w} > {W - 2}")
+    if max_total_iter == 0:
+        max_total_iter = 30 * w
+    Hp = jnp.zeros((W, W), dtype).at[:w, :w].set(H)
+    Ztp = jnp.zeros((W, W), dtype).at[:w, :w].set(Z.T)
+    Hhi, Hlo = df_from_f64(Hp)
+    Zthi, Ztlo = df_from_f64(Ztp)
+    iscal = jnp.stack([jnp.asarray(m), jnp.asarray(ilo),
+                       jnp.asarray(max_total_iter)]).astype(jnp.int32)
+    thf = jnp.asarray(thresh, dtype).astype(jnp.float32)
+    fscal = jnp.stack([thf, jnp.float32(0.0)])
+    Shi, Slo, Zohi, Zolo, info = _francis_call(
+        iscal, fscal, Hhi, Hlo, Zthi, Ztlo, W=W, interpret=interpret)
+    S = (Shi.astype(dtype) + Slo.astype(dtype))[:w, :w]
+    Zt = (Zohi.astype(dtype) + Zolo.astype(dtype))[:w, :w]
+    return S, Zt.T, info[0]
+
+
+# ---------------------------------------------------------------------------
+# Bulge-train hop kernel: HOP in-window chase steps for G staggered trains
+# (the serial body of ops/schur.py:_train_hop / _sweep_wave, reference
+# pipelined window chains schur/core.c:563-782).  One grid step per train.
+#
+# Representation trick: every per-bulge scalar lives EXPANDED — copied to
+# all three rows of its bulge triple (sublane orientation, (3B, 1)) or all
+# three lanes (lane orientation, (1, W)).  Expansions/reductions are static
+# pltpu.roll + j-phase masks; the sublane<->lane transfer is one masked
+# (3B, W) reduction (exact: one term per lane).  No transposes, no strided
+# slices, no dynamic lane addressing.
+# ---------------------------------------------------------------------------
+
+
+def _spread3(A, jphase, axis: int):
+    """Given A nonzero only at phase-0 positions of each 3-group along
+    ``axis``, return A copied to all three phases (static rolls)."""
+    size = A.hi.shape[axis]
+    r1 = functools.partial(pltpu.roll, shift=np.int32(1), axis=axis)
+    r2 = functools.partial(pltpu.roll, shift=np.int32(2), axis=axis)
+    return Df(A.hi + r1(A.hi) + r2(A.hi), A.lo + r1(A.lo) + r2(A.lo))
+
+
+def _phase_sum3(P, jphase, axis: int):
+    """Per-3-group sums of P along ``axis``, left at phase-0 positions.
+
+    jphase is the int32 phase array (broadcastable to P's shape)."""
+    size = P.hi.shape[axis]
+
+    def sel(j):
+        m = jphase == j
+        return Df(jnp.where(m, P.hi, _F0), jnp.where(m, P.lo, _F0))
+
+    def rback(A, j):
+        sh = np.int32(size - j)  # roll by -j
+        return Df(pltpu.roll(A.hi, sh, axis), pltpu.roll(A.lo, sh, axis))
+
+    s = sel(0) + rback(sel(1), 1) + rback(sel(2), 2)
+    return s
+
+
+def _train_hops_kernel(lrel_s, ihir_s, s0_s, shr_hi, shr_lo, Whi, Wlo,
+                       Ohi, Olo, Qthi, Qtlo, *, W: int, B: int, HOP: int,
+                       guard: bool = False):
+    import contextlib
+    from starneig_tpu.ops import df32 as _df32
+    ctx = contextlib.nullcontext() if guard else _df32.no_guard()
+    with ctx:
+        _train_hops_body(lrel_s, ihir_s, s0_s, shr_hi, shr_lo, Whi, Wlo,
+                         Ohi, Olo, Qthi, Qtlo, W=W, B=B, HOP=HOP)
+
+
+def _train_hops_body(lrel_s, ihir_s, s0_s, shr_hi, shr_lo, Whi, Wlo,
+                     Ohi, Olo, Qthi, Qtlo, *, W: int, B: int, HOP: int):
+    """One train's HOP chase steps.  Refs: shr_* (B, 4) REVERSED shifts
+    (sublane b <-> row-triple b of the train block); O (window, in/out via
+    copy-in), Qt (the TRANSPOSED accumulated window transform)."""
+    g = pl.program_id(0)
+    Ohi[:] = Whi[:]
+    Olo[:] = Wlo[:]
+    rows2 = lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    cols2 = lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    Qthi[:] = (rows2 == cols2).astype(jnp.float32)
+    Qtlo[:] = jnp.zeros((W, W), jnp.float32)
+
+    l_rel = lrel_s[g]
+    ihi_rel = ihir_s[g]
+    s0 = s0_s[g]
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    sub3 = lax.broadcasted_iota(jnp.int32, (3 * B, 1), 0)
+    rq = sub3 // np.int32(3)        # triple index per train-block row
+    jq = sub3 - np.int32(3) * rq    # phase within the triple
+    lane3 = lax.broadcasted_iota(jnp.int32, (3 * B, W), 1)
+
+    # shift rows arrive pre-REVERSED (triple q holds bulge B-1-q) and
+    # pre-EXPANDED to (3B, 4) by the wrapper (pltpu.repeat is tile-order,
+    # not element-repeat — expansion is an XLA-side jnp.repeat instead)
+    sr1e = Df(shr_hi[:, 0:1], shr_lo[:, 0:1])
+    si1e = Df(shr_hi[:, 1:2], shr_lo[:, 1:2])
+    sr2e = Df(shr_hi[:, 2:3], shr_lo[:, 2:3])
+    si2e = Df(shr_hi[:, 3:4], shr_lo[:, 3:4])
+
+    # NB: a fori_loop's i64 induction variable is unusable in-kernel under
+    # x64 (PLAN_r4.md) — run a while_loop over an explicit int32 counter
+    def step(cnt):
+        s = s0 + cnt
+        lo = l_rel + s - np.int32(3 * (B - 1))
+        # spelled-out clip: jnp.clip's weak-int min recurses in x64 traces
+        loc = jnp.minimum(jnp.maximum(lo, np.int32(1)),
+                          np.int32(W - 3 * B))
+
+        TB = _band(Ohi, Olo, loc, 3 * B)
+
+        # per-row gathers: element of row r at its triple's column kq+dc
+        kq = lo + np.int32(3) * rq                       # (3B, 1)
+        def gather(dc):
+            m = (lane3 == kq + np.int32(dc)).astype(jnp.float32)
+            return Df(jnp.sum(TB.hi * m, axis=1, keepdims=True),
+                      jnp.sum(TB.lo * m, axis=1, keepdims=True))
+
+        gm1 = gather(-1)
+        g0 = gather(0)
+        g1 = gather(1)
+        g2 = gather(2)
+
+        def phases(gv):
+            """Split a per-row gather into 3 expanded phase vectors."""
+            out = []
+            for j in range(3):
+                m = jq == j
+                A = Df(jnp.where(m, gv.hi, _F0), jnp.where(m, gv.lo, _F0))
+                sh = np.int32((3 * B - j) % (3 * B))
+                A = Df(pltpu.roll(A.hi, sh, 0), pltpu.roll(A.lo, sh, 0))
+                out.append(_spread3(A, jq, 0))
+            return out
+
+        x0c, x1c, x2c = phases(gm1)
+        h00, h10, h20 = phases(g0)
+        h01, h11, h21 = phases(g1)
+        h02, h12, h22 = phases(g2)
+
+        active = (kq >= l_rel) & (kq <= ihi_rel - 2)
+        intro = active & (kq == l_rel)
+        use3 = kq <= ihi_rel - 3
+
+        vi0, vi1, vi2 = df_first_column_shifted(
+            ((h00, h01, h02), (h10, h11, h12), (h20, h21, h22)),
+            sr1e, si1e, sr2e, si2e, use3)
+        x0 = dfw(intro, vi0, x0c)
+        x1 = dfw(intro, vi1, x1c)
+        x2 = dfw(intro, vi2, dfw(use3, x2c, Df(0.0)))
+        v1, v2, tau, beta = df_householder3(x0, x1, x2, use3)
+        tau = dfw(active, tau, Df(0.0))
+
+        one = Df(1.0)
+        Vexp = dfw(jq == 0, one, dfw(jq == 1, v1, v2))   # (3B, 1)
+
+        # ---- left update on the train block ----
+        P = TB * Vexp
+        w_at0 = _phase_sum3(P, jq, 0)
+        w_exp = _spread3(w_at0, jq, 0)
+        TBn = TB - (tau * Vexp) * w_exp
+
+        # ---- exact chase-column plant (between left and right) ----
+        fix = active & ~intro
+        pm = (lane3 == kq - 1) & fix
+        bete = beta  # expanded (3B, 1) already
+        TBn = Df(jnp.where(pm & (jq == 0), bete.hi,
+                           jnp.where(pm & ((jq == 1) | (use3 & (jq == 2))),
+                                     _F0, TBn.hi)),
+                 jnp.where(pm & (jq == 0), bete.lo,
+                           jnp.where(pm & ((jq == 1) | (use3 & (jq == 2))),
+                                     _F0, TBn.lo)))
+        Ohi[pl.ds(loc, 3 * B), :] = TBn.hi
+        Olo[pl.ds(loc, 3 * B), :] = TBn.lo
+
+        # ---- sublane -> lane transfer of v and tau (exact: 1 term/lane) ----
+        tmap = (lane3 == lo + sub3).astype(jnp.float32)
+
+        def to_lane(x):
+            return Df(jnp.sum(x.hi * tmap, axis=0, keepdims=True),
+                      jnp.sum(x.lo * tmap, axis=0, keepdims=True))
+
+        Vlane = to_lane(Vexp)
+        taulane = to_lane(tau)
+        jl_raw = lane - lo
+        inr = (jl_raw >= 0) & (jl_raw < np.int32(3 * B))
+        ql = jnp.where(inr, jl_raw, np.int32(0)) // np.int32(3)
+        jl = jnp.where(inr, jl_raw - np.int32(3) * ql, np.int32(3))
+
+        # ---- right update on rows [0, lo + 3B + 1] (col-masked chunks) ----
+        rmax = lo + np.int32(3 * B + 1)
+
+        def rbody(c):
+            base = c * _CH
+            Bb = _band(Ohi, Olo, base, _CH)
+            P2 = Bb * Vlane
+            s_at0 = _phase_sum3(P2, jl, 1)
+            w2 = _spread3(s_at0, jl, 1)
+            D = (taulane * w2) * Vlane
+            Bn2 = Bb - D
+            Bn = Df(jnp.where(inr, Bn2.hi, Bb.hi),
+                    jnp.where(inr, Bn2.lo, Bb.lo))
+            Ohi[pl.ds(base, _CH), :] = Bn.hi
+            Olo[pl.ds(base, _CH), :] = Bn.lo
+            return c + np.int32(1)
+
+        lax.while_loop(lambda c: c * _CH <= rmax, rbody, jnp.int32(0))
+
+        # ---- Qt rows [lo, lo+3B) (window transform columns) ----
+        Qb = _band(Qthi, Qtlo, loc, 3 * B)
+        Pq = Qb * Vexp
+        wq = _spread3(_phase_sum3(Pq, jq, 0), jq, 0)
+        Qbn = Qb - (tau * Vexp) * wq
+        Qthi[pl.ds(loc, 3 * B), :] = Qbn.hi
+        Qtlo[pl.ds(loc, 3 * B), :] = Qbn.lo
+        return cnt + np.int32(1)
+
+    lax.while_loop(lambda c: c < np.int32(HOP), step, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("B", "HOP", "W", "interpret"))
+def _train_hops_call(lrels, ihirs, s0s, shr_hi, shr_lo, Whi, Wlo,
+                     B: int, HOP: int, W: int, interpret: bool = False):
+    G = Whi.shape[0]
+    blk = pl.BlockSpec((None, W, W),
+                   lambda g: (g, np.int32(0), np.int32(0)),
+                       memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((None, 3 * B, 4),
+                    lambda g: (g, np.int32(0), np.int32(0)),
+                        memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct((G, W, W), jnp.float32)
+                      for _ in range(4))
+    # SMEM full-array specs need an EXPLICIT int32 index_map under a grid:
+    # the default one returns weak-i64 indices in x64 mode, which Mosaic
+    # rejects (func.return i64 legalization failure)
+    smem = pl.BlockSpec((G,), lambda g: (np.int32(0),),
+                        memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        functools.partial(_train_hops_kernel, W=W, B=B, HOP=HOP,
+                          guard=interpret),
+        grid=(G,),
+        out_shape=out_shape,
+        in_specs=[
+            smem, smem, smem,
+            sblk, sblk, blk, blk,
+        ],
+        out_specs=(blk, blk, blk, blk),
+        interpret=interpret,
+    )(lrels, ihirs, s0s, shr_hi, shr_lo, Whi, Wlo)
+
+
+def train_hops_pallas(Wnds, shifts, l_rels, ihi_rels, s0s,
+                      B: int, HOP: int, interpret: bool = False):
+    """Batched drop-in for vmapped :func:`ops.schur._train_hop`.
+
+    Args: Wnds (G, WC, WC) f64 chase windows; shifts (G, B, 4) with rows
+    (sr1, si1, sr2, si2) per bulge; l_rels/ihi_rels/s0s (G,) window-relative
+    scalars.  Returns (Wnd2, Qw) like the vmapped XLA hop.
+    """
+    Wnds = jnp.asarray(Wnds)
+    G, WC = Wnds.shape[0], Wnds.shape[1]
+    dtype = Wnds.dtype
+    W = 128
+    if WC > W:
+        raise ValueError(f"chase window {WC} > {W}")
+    Wp = jnp.zeros((G, W, W), dtype).at[:, :WC, :WC].set(Wnds)
+    Whi, Wlo = df_from_f64(Wp)
+    # triple q of the train block holds bulge B-1-q: pre-reverse, then
+    # expand per-bulge rows to per-train-block-row (3B, 4)
+    shr = jnp.repeat(jnp.asarray(shifts)[:, ::-1, :], 3, axis=1)
+    shr_hi, shr_lo = df_from_f64(shr)
+    i32 = lambda x: jnp.asarray(x).astype(jnp.int32)
+    Ohi, Olo, Qthi, Qtlo = _train_hops_call(
+        i32(l_rels), i32(ihi_rels), i32(s0s), shr_hi, shr_lo, Whi, Wlo,
+        B=B, HOP=HOP, W=W, interpret=interpret)
+    Wnd2 = (Ohi.astype(dtype) + Olo.astype(dtype))[:, :WC, :WC]
+    Qw = jnp.swapaxes(
+        Qthi.astype(dtype) + Qtlo.astype(dtype), 1, 2)[:, :WC, :WC]
+    return Wnd2, Qw

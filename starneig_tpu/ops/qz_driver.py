@@ -410,6 +410,11 @@ def _deflate_inf_bottom(Spad, Tpad, Zpad, ihi, P: int):
     Spad = Spad.at[i, i - 1].set(0.0)
     Tpad = rot(Tpad)
     Tpad = Tpad.at[i, i - 1].set(0.0)
+    # plant the deflated infinite eigenvalue's beta to EXACT zero: when the
+    # detected T-diagonal zero is already at the segment bottom the chase
+    # is skipped and beta would otherwise stay sub-threshold tiny (the
+    # chase kernel plants exact zeros; hooks expect the same here)
+    Tpad = Tpad.at[i, i].set(0.0)
     nq = Zpad.shape[0]
     gi = i  # Zpad columns are padded like Spad's
     a, b = Zpad[:, gi - 1], Zpad[:, gi]

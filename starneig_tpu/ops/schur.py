@@ -486,6 +486,14 @@ def _sweep_traced(Spad, Qpad, eyeWC, l, ihi, sh, B: int, ext=DenseExtent):
 _WAVE_STAG = 3
 
 
+def _hops_pallas_ok(dtype, WC: int):
+    """Route the in-window hop to the Pallas df32 kernel (TPU, f64, window
+    within one 128-lane tile — see ops/pallas_schur.py)."""
+    import os
+    return (jax.default_backend() == "tpu" and dtype == jnp.float64
+            and WC <= 128 and not os.environ.get("STARNEIG_NO_PALLAS"))
+
+
 def _sweep_wave(Spad, Qpad, eyeWC, l, ihi, shifts, ntr, G: int, B: int,
                 ext=DenseExtent):
     """Chase up to G staggered B-bulge trains across [l, ihi) in ONE pass.
@@ -526,11 +534,16 @@ def _sweep_wave(Spad, Qpad, eyeWC, l, ihi, shifts, ntr, G: int, B: int,
         ihi_rel = jnp.where(active, ihi - ws, 0)
 
         Wnds = ext.get_diag_blocks(Spad, ws, WC)
-        Wnd2, Qw = jax.vmap(
-            lambda Wnd, sh, lr, ir, s0g: _train_hop(
-                Wnd, eyeWC, sh[:, 0], sh[:, 1], sh[:, 2], sh[:, 3],
-                lr, ir, s0g, B=B, WC=WC, HOP=HOP),
-            in_axes=(0, 0, 0, 0, 0))(Wnds, shifts, l_rel, ihi_rel, s0)
+        if _hops_pallas_ok(Spad.dtype, WC):
+            from starneig_tpu.ops.pallas_schur import train_hops_pallas
+            Wnd2, Qw = train_hops_pallas(Wnds, shifts, l_rel, ihi_rel, s0,
+                                         B=B, HOP=HOP)
+        else:
+            Wnd2, Qw = jax.vmap(
+                lambda Wnd, sh, lr, ir, s0g: _train_hop(
+                    Wnd, eyeWC, sh[:, 0], sh[:, 1], sh[:, 2], sh[:, 3],
+                    lr, ir, s0g, B=B, WC=WC, HOP=HOP),
+                in_axes=(0, 0, 0, 0, 0))(Wnds, shifts, l_rel, ihi_rel, s0)
 
         Spad = ext.mul_rows_batch(Spad, ws, WC, Qw)
         Spad = ext.mul_cols_batch(Spad, ws, WC, Qw)
@@ -850,12 +863,25 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     auto_aed = user_conf.aed_window_size == -1
     auto_ns = user_conf.aed_shift_count == -1
     conf = user_conf.resolve(n)
-    if jax.default_backend() == "tpu" and n >= 1500:
-        # latency-aware AED sizing: the reference's 0.08n window
-        # (process_args.c:116-138) amortizes over a CPU task pool; on TPU
-        # the window Francis is serial device steps, so total serial cost
-        # ~ 3 n WA + 4 n^2 / WA is minimized near WA ~ sqrt(n).  Only
-        # applied to auto-sized configs; explicit expert values win.
+    use_pallas = (jax.default_backend() == "tpu" and dtype == jnp.float64)
+    if use_pallas and n > 126:
+        # Pallas-kernel AED sizing: the window Francis runs in the df32
+        # Pallas kernel (ops/pallas_schur.py), whose unaligned dynamic row
+        # bands require the window to fit one 128-lane tile — cap the AED
+        # window at 124 (+2 slack rows).  The reference's 0.08n window
+        # (process_args.c:116-138) would exceed it above n~1550; more,
+        # cheaper rounds win on this hardware.  Explicit expert values win.
+        if auto_aed:
+            conf.aed_window_size = min(conf.aed_window_size, 124)
+        if auto_ns:
+            conf.aed_shift_count = min(
+                conf.aed_shift_count,
+                max(32, (3 * conf.aed_window_size // 4) // 2 * 2))
+    elif jax.default_backend() == "tpu" and n >= 1500:
+        # latency-aware AED sizing (non-pallas dtypes): the reference's
+        # 0.08n window amortizes over a CPU task pool; in the fused XLA
+        # loop the window Francis is serial device steps, so total serial
+        # cost ~ 3 n WA + 4 n^2 / WA is minimized near WA ~ sqrt(n).
         import math as _math
         if auto_aed:
             conf.aed_window_size = min(
@@ -880,6 +906,9 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     WA = min(max(32, conf.aed_window_size + 2), n)
     NS = max(2, min(conf.aed_shift_count // 2 * 2, 2 * (WA // 2)))
     B = max(2, min(conf.shifts_per_window // 2, NS // 2, max(2, n // 12)))
+    if use_pallas:
+        # chase window WC = 6B+4 must fit the hop kernel's 128-lane tile
+        B = min(B, 20)
     WC = 6 * B + 4                        # train chase window (~window_size)
     TMAX = max(1, (NS // 2 + B - 1) // B)
     # + WC: parking zone for masked wavefront trains (_sweep_wave)
@@ -919,7 +948,9 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
         executed = max(int(st[4]) - rounds_done, 1)
         rounds_done = int(st[4])
         rk = int(np.clip(executed * 15.0 / dt, 1, 256)) + rounds_done
-    info = Error.DID_NOT_CONVERGE if int(st[3]) else Error.SUCCESS
+    # fail flag OR a global-round-cap exit with an unconverged segment
+    info = (Error.DID_NOT_CONVERGE if (int(st[3]) or int(st[0]) > 0)
+            else Error.SUCCESS)
 
     S = lax.dynamic_slice(Spad, (P, P), (n, n))
     Qf = lax.dynamic_slice(Qpad, (0, P), (n, n))

@@ -197,6 +197,18 @@ def _body(state):
 _run = make_bounded_while(_cond, _body, chunk=48)
 
 
+def _pallas_ok(H):
+    """Dispatch the Francis iteration to the Pallas TPU kernel when the
+    window fits its 128-lane tile (ops/pallas_schur.py) and we are on TPU
+    with emulated f64 — the XLA path costs 58-210 us per serial step there
+    vs ~1-3 us in the kernel (PLAN_r4.md)."""
+    import os
+    return (jax.default_backend() == "tpu"
+            and H.dtype == jnp.float64
+            and H.shape[0] <= 126
+            and not os.environ.get("STARNEIG_NO_PALLAS"))
+
+
 def small_schur(H, Z, m, thresh=0.0, ilo=0, max_total_iter=0):
     """Real Schur form of the active m x m Hessenberg block of H.
 
@@ -217,6 +229,9 @@ def small_schur(H, Z, m, thresh=0.0, ilo=0, max_total_iter=0):
     """
     H = jnp.asarray(H)
     Z = jnp.asarray(Z)
+    if _pallas_ok(H):
+        from starneig_tpu.ops.pallas_schur import small_schur_pallas
+        return small_schur_pallas(H, Z, m, thresh, ilo, max_total_iter)
     w = H.shape[0]
     dtype = H.dtype
     if max_total_iter == 0:

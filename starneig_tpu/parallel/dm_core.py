@@ -45,8 +45,14 @@ from starneig_tpu.config import SchurConf
 from starneig_tpu.errors import Error
 
 
+@functools.lru_cache(maxsize=None)
 def make_sharded_extent(axis: str, nshards: int):
-    """Build a ShardedExtent class for a mesh axis (static, hashable)."""
+    """Build a ShardedExtent class for a mesh axis (static, hashable).
+
+    Memoized: ``ext`` is a static jit argument of the fused driver, so a
+    fresh class per call would miss the jit cache and recompile the whole
+    shard_map program on every DM solve.
+    """
 
     class ShardedExtent:
         """Extent ops on (rows, C) column shards inside shard_map."""
@@ -280,7 +286,10 @@ def schur_dm(H, Q=None, mesh: Optional[Mesh] = None,
         donate_argnums=(0, 1))
 
     Spad, Qpad, state = fused(Spad, Qpad, thresh, eyeW, eyeWC)
-    info = Error.DID_NOT_CONVERGE if int(np.asarray(state)[3]) \
+    st = np.asarray(state)
+    # a loop exit on the global round cap with ihi > 0 is also a
+    # non-converged (non-Schur) output, not just the fail flag
+    info = Error.DID_NOT_CONVERGE if (int(st[3]) or int(st[0]) > 0) \
         else Error.SUCCESS
 
     @jax.jit

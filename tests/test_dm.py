@@ -23,8 +23,10 @@ def test_mesh_and_distr_matrix():
 
 
 def test_sep_dm_full_chain():
+    # n > small_limit (64) so schur_dm's shard_map driver actually runs in
+    # the suite (not just the out-of-suite dryrun)
     mesh = make_mesh(8)
-    n = 64
+    n = 96
     A = random_dense(n, seed=2)
     Ad = distr_matrix_from_array(A, mesh)
     Hd, Qd = sep_dm.hessenberg(Ad)
