@@ -1,0 +1,109 @@
+"""Pallas TPU matvec kernel for the Hessenberg panel loop.
+
+The blocked Hessenberg reduction's only intrinsically sequential work is
+one matrix-vector product per column (u = A v against the panel-start
+matrix; reference ``src/hessenberg/core.c:461-521``).  On this TPU the
+XLA f64 emulated matvec costs 11.4 ms at n=4000 (measured, PLAN_r4.md) —
+~n * 11 ms dominates the whole reduction.  This kernel computes the df32
+(hi/lo f32 pair, ~2^-47) matvec at the VPU/HBM bound (~0.5 ms at n=4000):
+
+  * A is split hi/lo ONCE per panel (the panel loop deliberately reads
+    the frozen panel-start matrix, so nb columns reuse one split);
+  * the kernel grids over row blocks; each block does an elementwise
+    df product with the broadcast v and a pairwise-halving df summation
+    tree over the lane dimension (jnp.sum would collapse the compensation
+    terms to f32 — measured in round 3);
+  * lanes are padded to a power of two for the tree; padding lanes hold
+    zeros and contribute exactly nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from starneig_tpu.ops import df32
+
+_RB = 256  # rows per grid block (halved at wide Np to fit VMEM)
+
+
+def _rb_for(Np: int) -> int:
+    # hi+lo blocks are double-buffered by the pipeline: keep
+    # 2 * 2 * RB * Np * 4B within ~12 MB of the 16 MB VMEM
+    rb = _RB
+    while 2 * 2 * rb * Np * 4 > 12 * 1024 * 1024 and rb > 8:
+        rb //= 2
+    return rb
+
+
+def _matvec_kernel(Ahi, Alo, vhi, vlo, uhi, ulo, *, guard: bool = False):
+    import contextlib
+    ctx = contextlib.nullcontext() if guard else df32.no_guard()
+    with ctx:
+        P = df32.df_mul((Ahi[:], Alo[:]), (vhi[:], vlo[:]))
+        hi, lo = P
+        while hi.shape[-1] > 1:
+            half = hi.shape[-1] // 2
+            hi, lo = df32.df_add((hi[:, :half], lo[:, :half]),
+                                 (hi[:, half:], lo[:, half:]))
+        uhi[:] = hi
+        ulo[:] = lo
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _matvec_call(Ahi, Alo, vhi, vlo, interpret: bool = False):
+    R, Np = Ahi.shape
+    RB = _rb_for(Np)
+    grid = (R // RB,)
+    ablk = pl.BlockSpec((RB, Np), lambda r: (r, np.int32(0)),
+                        memory_space=pltpu.VMEM)
+    vblk = pl.BlockSpec((1, Np), lambda r: (np.int32(0), np.int32(0)),
+                        memory_space=pltpu.VMEM)
+    ublk = pl.BlockSpec((RB, 1), lambda r: (r, np.int32(0)),
+                        memory_space=pltpu.VMEM)
+    uhi, ulo = pl.pallas_call(
+        functools.partial(_matvec_kernel, guard=interpret),
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((R, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((R, 1), jnp.float32)),
+        in_specs=[ablk, ablk, vblk, vblk],
+        out_specs=(ublk, ublk),
+        interpret=interpret,
+    )(Ahi, Alo, vhi, vlo)
+    return uhi, ulo
+
+
+def split_panel_matrix(A):
+    """Split A (n, n) f64 into padded (hi, lo) f32 pair for the matvec
+    kernel: rows padded to a _RB multiple, lanes to a power of two."""
+    n = A.shape[0]
+    R = ((n + _RB - 1) // _RB) * _RB  # rows padded to the largest RB
+    Np = 128
+    while Np < n:
+        Np *= 2
+    Ap = jnp.zeros((R, Np), A.dtype)
+    Ap = Ap.at[:n, :n].set(A)
+    return df32.df_from_f64(Ap)
+
+
+def matvec_df(Ahi, Alo, v, interpret: bool = False):
+    """u = A @ v at df32 precision; A pre-split/padded (see
+    :func:`split_panel_matrix`), v (n,) f64.  Returns u (n,) f64."""
+    n = v.shape[0]
+    Np = Ahi.shape[1]
+    vp = jnp.zeros((1, Np), v.dtype).at[0, :n].set(v)
+    vhi, vlo = df32.df_from_f64(vp)
+    uhi, ulo = _matvec_call(Ahi, Alo, vhi, vlo, interpret=interpret)
+    u = uhi.astype(v.dtype) + ulo.astype(v.dtype)
+    return u[:n, 0]
+
+
+def matvec_pallas_ok(dtype, n: int):
+    import os
+    return (jax.default_backend() == "tpu" and dtype == jnp.float64
+            and not os.environ.get("STARNEIG_NO_PALLAS"))

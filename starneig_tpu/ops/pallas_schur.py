@@ -39,14 +39,18 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from starneig_tpu.ops.df32 import Df, dfw, dfabs, df_from_f64
+from starneig_tpu.ops.df32 import (
+    Df, dfw, dfabs, df_from_f64, dfsqrt as dfsqrt_,
+    dfhypot2 as dfhypot2_, df_safe_div as df_safe_div_)
 from starneig_tpu.ops.df_prim import (
     df_householder3, df_eig2x2, df_standardize_2x2, df_first_column_shifted)
 
 # effective df32 epsilon for negligibility tests: per-op df32 error is
 # ~2^-48 typical / 2^-42 worst (tests/test_df32.py); 2^-46 converges and
-# keeps the deflation-induced backward error at a few device-u
-ULP = float(2.0 ** -46)
+# keeps the deflation-induced backward error at a few device-u.
+# STARNEIG_DF_ULP_LOG2 overrides (accuracy/iteration-count tradeoff).
+import os as _os
+ULP = float(2.0 ** int(_os.environ.get("STARNEIG_DF_ULP_LOG2", "-46")))
 ITMAX_PER_BLOCK = 30    # exceptional-shift cadence 10, hard cap (LAPACK)
 _CH = 8                 # row-chunk height for lane-masked column passes
 
@@ -667,3 +671,199 @@ def train_hops_pallas(Wnds, shifts, l_rels, ihi_rels, s0s,
     Qw = jnp.swapaxes(
         Qthi.astype(dtype) + Qtlo.astype(dtype), 1, 2)[:, :WC, :WC]
     return Wnd2, Qw
+
+
+# ---------------------------------------------------------------------------
+# AED recondense kernel: spike reflector + unblocked Hessenberg re-reduction
+# of the undeflated window (ops/schur.py:_aed_recondense; the reference's
+# post-deflation re-reduction inside perform_*_aed, core.c:1365-1551).
+# Full-length reflectors: scalar work reduces with pairwise df trees; the
+# power-of-two scaling keeps the dlarfg pre-scale EXACT.
+# ---------------------------------------------------------------------------
+
+
+def _tree_sum(x, axis: int):
+    """Pairwise-halving df sum along ``axis`` (size must be a power of 2)."""
+    hi, lo = x.hi, x.lo
+    while hi.shape[axis] > 1:
+        half = hi.shape[axis] // 2
+        if axis == 0:
+            a, b = (hi[:half], lo[:half]), (hi[half:], lo[half:])
+        else:
+            a, b = (hi[:, :half], lo[:, :half]), (hi[:, half:], lo[:, half:])
+        from starneig_tpu.ops.df32 import df_add
+        hi, lo = df_add(a, b)
+    return Df(hi, lo)
+
+
+def _dlarfg_lane(x, tail_mask, p, lane):
+    """dlarfg on a (1, W) lane-oriented df vector: annihilate the tail.
+
+    ``tail_mask``: active tail lanes (excludes p); alpha sits at lane p.
+    Returns (v (1, W) with v[p] = 1 and masked tail, tau, beta) — the
+    semantics of ops/primitives.py:householder.
+    """
+    from starneig_tpu.ops.df32 import dfsign as _dfsign
+    from starneig_tpu.ops.df_prim import _zero as _z
+    alpha = Df(jnp.sum(jnp.where(lane == p, x.hi, _F0), axis=1, keepdims=True),
+               jnp.sum(jnp.where(lane == p, x.lo, _F0), axis=1, keepdims=True))
+    alpha = Df(alpha.hi[0, 0], alpha.lo[0, 0])
+    xt = Df(jnp.where(tail_mask, x.hi, _F0), jnp.where(tail_mask, x.lo, _F0))
+    m = jnp.maximum(jnp.max(jnp.abs(xt.hi)), jnp.abs(alpha.hi))
+    msafe = jnp.maximum(m, np.float32(1e-30))
+    # exact power-of-two pre-scale (dlarfg's subnormal guard, made exact)
+    e = jnp.floor(jnp.log2(msafe))
+    sc = jnp.exp2(-e)
+    sci = jnp.exp2(e)
+    xs = Df(xt.hi * sc, xt.lo * sc)
+    al = Df(alpha.hi * sc, alpha.lo * sc)
+    nrm2 = _tree_sum(xs * xs, 1)
+    nrm2 = Df(nrm2.hi[0, 0], nrm2.lo[0, 0])
+    xnorm = dfsqrt_(nrm2)
+    beta = -_dfsign(al) * dfhypot2_(al, xnorm)
+    degen = xnorm.eq0()
+    tau = dfw(degen, Df(0.0), df_safe_div_(beta - al, beta))
+    scale = df_safe_div_(Df(1.0), al - beta)
+    v = xs * scale
+    v = Df(jnp.where(tail_mask, v.hi, _F0), jnp.where(tail_mask, v.lo, _F0))
+    v = Df(jnp.where(lane == p, _F1, v.hi), jnp.where(lane == p, _F0, v.lo))
+    v = dfw(degen, Df(jnp.where(lane == p, _F1, _F0),
+                      jnp.full_like(v.lo, _F0)), v)
+    beta_out = Df((dfw(degen, al, beta)).hi * sci,
+                  (dfw(degen, al, beta)).lo * sci)
+    return v, tau, beta_out
+
+
+def _recondense_kernel(iscal, fscal, Thi, Tlo, Vhi, Vlo,
+                       Tohi, Tolo, Vohi, Volo, bout, *, W: int,
+                       guard: bool = False):
+    import contextlib
+    from starneig_tpu.ops import df32 as _df32
+    ctx = contextlib.nullcontext() if guard else _df32.no_guard()
+    with ctx:
+        _recondense_body(iscal, fscal, Thi, Tlo, Vhi, Vlo,
+                         Tohi, Tolo, Vohi, Volo, bout, W=W)
+
+
+def _recondense_body(iscal, fscal, Thi, Tlo, Vhi, Vlo,
+                     Tohi, Tolo, Vohi, Volo, bout, *, W: int):
+    Tohi[:] = Thi[:]
+    Tolo[:] = Tlo[:]
+    Vohi[:] = Vhi[:]
+    Volo[:] = Vlo[:]
+    kbot = iscal[0]
+    s_spike = Df(fscal[0], fscal[1])
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    rows2 = lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    cols2 = lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    rowc = lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    diag = (rows2 == cols2).astype(jnp.float32)
+
+    def lane_to_col(vl):
+        """(1, W) lane vector -> (W, 1) column (exact: one term per row)."""
+        return Df(jnp.sum(vl.hi * diag, axis=1, keepdims=True),
+                  jnp.sum(vl.lo * diag, axis=1, keepdims=True))
+
+    def apply_both(v_lane, tau):
+        """T <- (I - tau v v^T) T (I - tau v v^T); V <- V (I - tau v v^T)."""
+        vc = lane_to_col(v_lane)
+        T = Df(Tohi[:], Tolo[:])
+        w = _tree_sum(T * vc, 0)                       # (1, W) = v^T T
+        T = T - (tau * vc) * w
+        w2 = _tree_sum(T * v_lane, 1)                  # (W, 1) = T v
+        T = T - (tau * w2) * v_lane
+        Tohi[:] = T.hi
+        Tolo[:] = T.lo
+        V = Df(Vohi[:], Volo[:])
+        wv = _tree_sum(V * v_lane, 1)
+        V = V - (tau * wv) * v_lane
+        Vohi[:] = V.hi
+        Volo[:] = V.lo
+
+    # ---- spike reflector: sp = s * Vw[0, :], active rows [0, kbot) ----
+    sp = s_spike * Df(Vohi[0:1, :], Volo[0:1, :])
+    sp = Df(jnp.where(lane < kbot, sp.hi, _F0),
+            jnp.where(lane < kbot, sp.lo, _F0))
+    v0, tau0, beta0 = _dlarfg_lane(
+        sp, (lane > 0) & (lane < kbot), jnp.int32(0), lane)
+    apply_both(v0, tau0)
+    bout[0] = beta0.hi
+    bout[1] = beta0.lo
+
+    # ---- unblocked Hessenberg on [0, kbot) ----
+    def step(j):
+        shift = j + np.int32(1)
+        T = Df(Tohi[:], Tolo[:])
+        colm = (cols2 == j).astype(jnp.float32)
+        col = Df(jnp.sum(T.hi * colm, axis=1, keepdims=True),
+                 jnp.sum(T.lo * colm, axis=1, keepdims=True))
+        # column as a lane vector for the reflector helper
+        cl = Df(jnp.sum(jnp.where(rows2 == cols2, col.hi, _F0), axis=0,
+                        keepdims=True),
+                jnp.sum(jnp.where(rows2 == cols2, col.lo, _F0), axis=0,
+                        keepdims=True))
+        ok = shift < kbot
+        tail = (lane > shift) & (lane < kbot)
+        v, tau, b = _dlarfg_lane(cl, tail, shift, lane)
+        tau = dfw(ok, tau, Df(0.0))
+        apply_both(v, tau)
+        # plant the exact column j: zeros below shift (inside [0, kbot)),
+        # beta at shift
+        T = Df(Tohi[:], Tolo[:])
+        zz = (rows2 > j + 1) & (rowc < kbot) & ok
+        bm = (rows2 == j + 1) & ok
+        cm = cols2 == j
+        Tohi[:] = jnp.where(cm & zz, _F0,
+                            jnp.where(cm & bm, b.hi, T.hi))
+        Tolo[:] = jnp.where(cm & zz, _F0,
+                            jnp.where(cm & bm, b.lo, T.lo))
+        return j + np.int32(1)
+
+    lax.while_loop(lambda j: j < np.int32(W - 2), step, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+def _recondense_call(iscal, fscal, Thi, Tlo, Vhi, Vlo, W: int,
+                     interpret: bool = False):
+    out_shape = (
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.float32),
+    )
+    return pl.pallas_call(
+        functools.partial(_recondense_kernel, W=W, guard=interpret),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+                        + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        interpret=interpret,
+    )(iscal, fscal, Thi, Tlo, Vhi, Vlo)
+
+
+def aed_recondense_pallas(Tw, Vw, s, kbot, interpret: bool = False):
+    """Drop-in for ops/schur.py:_aed_recondense on the Pallas path."""
+    Tw = jnp.asarray(Tw)
+    Vw = jnp.asarray(Vw)
+    WA = Tw.shape[0]
+    dtype = Tw.dtype
+    W = 128
+    if WA > W - 2:
+        raise ValueError(f"recondense window {WA} > {W - 2}")
+    Tp = jnp.zeros((W, W), dtype).at[:WA, :WA].set(Tw)
+    Vp = jnp.zeros((W, W), dtype).at[:WA, :WA].set(Vw)
+    Thi, Tlo = df_from_f64(Tp)
+    Vhi, Vlo = df_from_f64(Vp)
+    iscal = jnp.stack([jnp.asarray(kbot)]).astype(jnp.int32)
+    sh, sl = df_from_f64(jnp.asarray(s, dtype).reshape(1))
+    fscal = jnp.concatenate([sh, sl])
+    Tohi, Tolo, Vohi, Volo, bout = _recondense_call(
+        iscal, fscal, Thi, Tlo, Vhi, Vlo, W=W, interpret=interpret)
+    Tn = (Tohi.astype(dtype) + Tolo.astype(dtype))[:WA, :WA]
+    Vn = (Vohi.astype(dtype) + Volo.astype(dtype))[:WA, :WA]
+    beta = bout[0].astype(dtype) + bout[1].astype(dtype)
+    return Tn, Vn, beta

@@ -693,7 +693,11 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
         er_w, ei_w = extract_eigenvalues(Tw)
         shifts, npairs = _pack_shifts(er_w, ei_w, Tw, kbot, NS, B, TMAX)
 
-        Tw, Vw, beta = _aed_recondense(Tw, Vw, s_spike, kbot)
+        if _hops_pallas_ok(dtype, WA + 2):
+            from starneig_tpu.ops.pallas_schur import aed_recondense_pallas
+            Tw, Vw, beta = aed_recondense_pallas(Tw, Vw, s_spike, kbot)
+        else:
+            Tw, Vw, beta = _aed_recondense(Tw, Vw, s_spike, kbot)
 
         # window transform applied at full extents (exact: Vw is identity
         # outside the active block); rows first, then columns see the
@@ -951,6 +955,10 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     # fail flag OR a global-round-cap exit with an unconverged segment
     info = (Error.DID_NOT_CONVERGE if (int(st[3]) or int(st[0]) > 0)
             else Error.SUCCESS)
+    import os as _os
+    if _os.environ.get("STARNEIG_DEBUG_ROUNDS"):
+        print(f"[schur] n={n} WA={WA} NS={NS} B={B} TMAX={TMAX} "
+              f"rounds={int(st[4])}", flush=True)
 
     S = lax.dynamic_slice(Spad, (P, P), (n, n))
     Qf = lax.dynamic_slice(Qpad, (0, P), (n, n))
