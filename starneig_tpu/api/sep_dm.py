@@ -77,10 +77,18 @@ def schur(H, Q=None, mesh=None, conf=None):
 
 
 def reorder_schur(S, Q, select, mesh=None, conf=None):
-    """Distributed eigenvalue reordering (sep_dm.h:198-230)."""
+    """Distributed eigenvalue reordering (sep_dm.h:198-230).
+
+    Wave-parallel disjoint windows with every matrix access inside a
+    shard_map pass (psum window gathers, shard-local strips —
+    :func:`starneig_tpu.parallel.dm_core.reorder_dm`; reference:
+    src/mpi/interface_reorder.c)."""
+    from starneig_tpu.parallel.dm_core import reorder_dm
+
     Sd = _as_distr(S, mesh)
     Qd = _as_distr(Q, Sd.mesh)
-    So, Qo, m, info = _sep.reorder_schur(Sd.data, Qd.data, select, conf=conf)
+    So, Qo, m, info = reorder_dm(Sd.data, Qd.data, select, mesh=Sd.mesh,
+                                 conf=conf)
     return _wrap(So, Sd.mesh, Sd.spec), _wrap(Qo, Sd.mesh, Sd.spec), m, info
 
 
@@ -100,9 +108,21 @@ def select(S, predicate: Callable[[complex], bool]):
     return _sep.select(Sd, predicate)
 
 
-def reduce(A, predicate=None, mesh=None, **confs):
-    """Distributed full chain (reference: mpi/combined.c)."""
+def reduce(A, predicate=None, mesh=None, hessenberg_conf=None,
+           schur_conf=None, reorder_conf=None):
+    """Distributed full chain (reference: mpi/combined.c).
+
+    Each stage runs its DM entry: Hessenberg (SPMD jit), Schur through the
+    shard_map fused driver (:func:`dm_core.schur_dm`), reordering through
+    the shard_map window passes (:func:`dm_core.reorder_dm`)."""
+    from starneig_tpu.errors import Error
+
     Ad = _as_distr(A, mesh)
-    S, Q, er, ei, nsel, info = _sep.reduce(Ad.data, predicate=predicate, **confs)
-    return (_wrap(S, Ad.mesh, Ad.spec), _wrap(Q, Ad.mesh, Ad.spec),
-            er, ei, nsel, info)
+    Hd, Qd = hessenberg(Ad, conf=hessenberg_conf)
+    Sd, Qd, er, ei, info = schur(Hd, Qd, conf=schur_conf)
+    nsel = 0
+    if info == Error.SUCCESS and predicate is not None:
+        sel = select(Sd, predicate)
+        Sd, Qd, nsel, info = reorder_schur(Sd, Qd, sel, conf=reorder_conf)
+        er, ei = _sep.eigenvalues(Sd.data)
+    return Sd, Qd, er, ei, nsel, info

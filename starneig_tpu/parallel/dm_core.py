@@ -275,18 +275,42 @@ def schur_dm(H, Q=None, mesh: Optional[Mesh] = None,
     Qpad = jax.device_put(Qpad, colsh)
 
     ext = make_sharded_extent(axname, nd)
-    body = functools.partial(
-        _schur_iter, P=P, WA=WA, NS=NS, B=B, TMAX=TMAX,
-        nibble=conf.aed_nibble, itmax=conf.iteration_limit, ext=ext, n=n)
+
+    def body(Spad, Qpad, thresh, eyeW, eyeWC, state, rcap):
+        return _schur_iter(
+            Spad, Qpad, thresh, eyeW, eyeWC, state=state, rcap=rcap,
+            P=P, WA=WA, NS=NS, B=B, TMAX=TMAX,
+            nibble=conf.aed_nibble, itmax=conf.iteration_limit,
+            ext=ext, n=n)
+
     fused = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(PSpec(None, axname), PSpec(None, axname),
-                  PSpec(), PSpec(), PSpec()),
+                  PSpec(), PSpec(), PSpec(), PSpec(), PSpec()),
         out_specs=(PSpec(None, axname), PSpec(None, axname), PSpec())),
         donate_argnums=(0, 1))
 
-    Spad, Qpad, state = fused(Spad, Qpad, thresh, eyeW, eyeWC)
-    st = np.asarray(state)
+    # chunked dispatch exactly like the SM driver (ops/schur.py): the
+    # tunneled TPU kills executions beyond ~60 s, so run the fused SPMD
+    # program in adaptive round chunks, reading back only the 20-byte
+    # state between chunks
+    import time as _time
+
+    state = jnp.stack([jnp.int32(n), jnp.int32(0), jnp.int32(n),
+                       jnp.int32(0), jnp.int32(0)])
+    rk = max(2, min(64, 4_000_000 // max(n * WA, 1)))
+    rounds_done = 0
+    while True:
+        t0 = _time.time()
+        Spad, Qpad, state = fused(Spad, Qpad, thresh, eyeW, eyeWC,
+                                  state, jnp.int32(rk))
+        st = np.asarray(state)
+        dt = max(_time.time() - t0, 1e-3)
+        if st[0] <= 0 or st[3] != 0 or st[4] >= 2 * n + 10:
+            break
+        executed = max(int(st[4]) - rounds_done, 1)
+        rounds_done = int(st[4])
+        rk = int(np.clip(executed * 15.0 / dt, 1, 256)) + rounds_done
     # a loop exit on the global round cap with ihi > 0 is also a
     # non-converged (non-Schur) output, not just the fail flag
     info = Error.DID_NOT_CONVERGE if (int(st[3]) or int(st[0]) > 0) \
@@ -339,3 +363,169 @@ def schur_dm_lowered(n: int, mesh: Mesh, dtype=jnp.float64):
             jax.ShapeDtypeStruct((WA, WA), dtype),
             jax.ShapeDtypeStruct((WC, WC), dtype))
     return jax.jit(sm).lower(*args), NP, nd
+
+
+# ---------------------------------------------------------------------------
+# distributed reordering: the wave-parallel window grid of
+# ops/reorder.py:reorder_schur_parallel with every matrix access routed
+# through the sharded extent ops (reference: src/mpi/interface_reorder.c —
+# same plan-and-window code, MPI-distributed tiles)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_reorder_pass(mesh: Mesh, W: int, axname: str, nd: int):
+    """Compile one sharded reorder pass: gather G disjoint windows (psum),
+    bubble them (replicated vmapped kernel), scatter the transforms back
+    as shard-local strips + owned-column panels."""
+    from starneig_tpu.ops.reorder import _window_bubble_batch
+
+    ext = make_sharded_extent(axname, nd)
+
+    def body(Sp, Qp, ws_arr, wlo, wlim, sels):
+        Tws = ext.get_diag_blocks(Sp, ws_arr, W)
+        Tw2, Qw2, sel2, dsts, nfails = _window_bubble_batch(
+            Tws, sels, wlo, wlim, wlim)
+        Sp = ext.mul_rows_batch(Sp, ws_arr, W, Qw2)
+        Sp = ext.mul_cols_batch(Sp, ws_arr, W, Qw2)
+        Sp = ext.set_diag_blocks(Sp, Tw2, ws_arr)
+        Qp = ext.mul_cols_batch(Qp, ws_arr, W, Qw2)
+        # gather the updated subdiagonal for the host's plan step
+        NPr = Sp.shape[0]
+        C = Sp.shape[1]
+        d = lax.axis_index(axname)
+        c = jnp.arange(C)
+        j = d * C + c
+        r1 = jnp.clip(j + 1, 0, NPr - 1)
+        sv = jnp.where(j + 1 < NPr, Sp[r1, c], 0.0)
+        sub = lax.psum(jnp.zeros((NPr,), Sp.dtype).at[jnp.clip(
+            j, 0, NPr - 1)].add(sv), axname)
+        return Sp, Qp, sel2, dsts, nfails, sub
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(PSpec(None, axname), PSpec(None, axname),
+                  PSpec(), PSpec(), PSpec(), PSpec()),
+        out_specs=(PSpec(None, axname), PSpec(None, axname),
+                   PSpec(), PSpec(), PSpec(), PSpec())),
+        donate_argnums=(0, 1))
+
+
+def reorder_dm(S, Q, select, mesh: Optional[Mesh] = None, conf=None):
+    """Distributed reordering: wave-parallel disjoint windows, sharded.
+
+    Column shards hold S and Q throughout; each pass runs ONE shard_map
+    program (psum window gathers, replicated bubble kernel, shard-local
+    row strips and owned-column panel writes).  The host only reads the
+    20-byte-per-window plan data (selection masks, fail counts, the
+    subdiagonal) between passes — mirroring
+    ``starneig_SEP_DM_ReorderSchur`` (src/mpi/interface_reorder.c).
+
+    Returns (S, Q, num_selected, info) with S, Q column-sharded.
+    """
+    from starneig_tpu.config import ReorderConf
+    from starneig_tpu.ops.reorder import _align_select, _prefix_len
+
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(np.array(devs), ("d",))
+    axname = mesh.axis_names[0]
+    nd = int(np.prod(mesh.devices.shape))
+
+    S = jnp.asarray(S)
+    Q = jnp.asarray(Q)
+    n = S.shape[0]
+    dtype = S.dtype
+
+    subdiag = np.concatenate([np.asarray(jnp.diagonal(S, offset=-1)), [0.0]])
+    sel = _align_select(subdiag, np.asarray(select, bool).copy())
+
+    if conf is None:
+        conf = ReorderConf()
+    ratio = float(sel.sum()) / max(n, 1)
+    rconf = conf.resolve(n, workers=nd, select_ratio=ratio)
+    W = min(rconf.window_size, n)
+
+    # pad: shard-divisible, parking region of one window at the tail, and
+    # each shard at least one window wide (the panel blend needs C >= W)
+    NP = n + W
+    NP = ((NP + nd - 1) // nd) * nd
+    while NP // nd < W:
+        NP += nd
+    park = jnp.int32(n)  # all-zero region: identity bubble, harmless write
+
+    colsh = NamedSharding(mesh, PSpec(None, axname))
+    Sp = jnp.zeros((NP, NP), dtype).at[:n, :n].set(S)
+    Qp = jnp.zeros((n, NP), dtype).at[:, :n].set(Q)
+    Sp = jax.device_put(Sp, colsh)
+    Qp = jax.device_put(Qp, colsh)
+
+    if n < 2 * W:
+        GMAX = 1
+    else:
+        GMAX = max(1, (n + W - 1) // W)
+
+    total_fail = 0
+    offset_toggle = 0
+    guard = 0
+    seq_mode = False
+    while True:
+        m = _prefix_len(subdiag, sel)
+        below = np.nonzero(sel[m:n])[0]
+        if below.size == 0:
+            break
+        guard += 1
+        if guard > 16 * (n // max(W // 2, 1) + 2):
+            total_fail += 1
+            break
+        if n < 2 * W or seq_mode:
+            # sequential window chain (small problems / stragglers): the
+            # same sharded pass with G=1
+            lowest = m + int(below[-1])
+            bsz = 2 if subdiag[lowest] != 0 else 1
+            if lowest > 0 and subdiag[lowest - 1] != 0:
+                lowest, bsz = lowest - 1, 2
+            ws_list = [min(max(m, lowest + bsz - W), n - W)]
+        else:
+            start = m + (offset_toggle * (W // 2))
+            offset_toggle ^= 1
+            ws_list = list(range(start, n - W + 1, W))
+            if ws_list and ws_list[-1] + W < n:
+                tail = n - W
+                if tail >= ws_list[-1] + W:
+                    ws_list.append(tail)
+            if not ws_list:
+                ws_list = [n - W]
+        # one padded fixed-G batch per pass (parked windows no-op)
+        group = ws_list[:GMAX]
+        G = GMAX
+        ws_arr = np.full((G,), int(park), np.int64)
+        ws_arr[:len(group)] = group
+        wlo = np.zeros((G,), np.int32)
+        wlim = np.full((G,), W, np.int32)
+        sels = np.zeros((G, W), bool)
+        for g, w0 in enumerate(group):
+            wlo[g] = 1 if (w0 > 0 and subdiag[w0 - 1] != 0) else 0
+            wlim[g] = W - 1 if (w0 + W < n and subdiag[w0 + W - 1] != 0) \
+                else W
+            sels[g] = sel[w0:w0 + W]
+        pass_fn = _make_reorder_pass(mesh, W, axname, nd)
+        Sp, Qp, sel2, dsts, nfails, subfull = pass_fn(
+            Sp, Qp, jnp.asarray(ws_arr, jnp.int32), jnp.asarray(wlo),
+            jnp.asarray(wlim), jnp.asarray(sels))
+        total_fail += int(np.asarray(nfails)[:len(group)].sum())
+        sel2 = np.asarray(sel2)
+        for g, w0 in enumerate(group):
+            sel[w0:w0 + W] = sel2[g]
+        subdiag = np.asarray(subfull)[:n].copy()   # subfull[j] = S[j+1, j]
+        subdiag[n - 1] = 0.0
+        if len(group) == 1 and not seq_mode and n >= 2 * W:
+            pass
+        if guard > 8 * (n // max(W // 2, 1) + 2):
+            seq_mode = True
+
+    m = _prefix_len(subdiag, sel)
+    info = Error.PARTIAL_REORDERING if total_fail else Error.SUCCESS
+    S_out = Sp[:n, :n]
+    Q_out = Qp[:, :n]
+    return S_out, Q_out, m, info
