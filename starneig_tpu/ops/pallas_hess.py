@@ -106,4 +106,5 @@ def matvec_df(Ahi, Alo, v, interpret: bool = False):
 def matvec_pallas_ok(dtype, n: int):
     import os
     return (jax.default_backend() == "tpu" and dtype == jnp.float64
-            and not os.environ.get("STARNEIG_NO_PALLAS"))
+            and not os.environ.get("STARNEIG_NO_PALLAS")
+            and not os.environ.get("STARNEIG_NO_PALLAS_MATVEC"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -214,7 +215,8 @@ def small_qz(H, T, Q, Z, m, thresh_h=0.0, thresh_t=0.0, ilo=0,
 def _build_qz_machine(w):
     """cond/body state machine for window size w (cached per shape)."""
     WP = w + 3
-    idx = jnp.arange(w)
+    idx = np.arange(w, dtype=np.int32)  # NUMPY: a jnp array built inside a
+    # caller trace would be a tracer, leak through the _QZ_RUNNERS cache
 
     def find_l(Hp, i, thresh_h, ilo):
         ulp = jnp.finfo(Hp.dtype).eps

@@ -651,167 +651,36 @@ def qz_schur(H, T, Q=None, Z=None, conf: Optional[SchurConf] = None):
     thresh = max(u * float(jnp.linalg.norm(H)), tiny)
     thresh_t = max(u * float(jnp.linalg.norm(T)), tiny)
 
-    maxW = max(SMALL_W, WA)
-    buckets = sorted({b for b in (64, 96, 160, 224, 288, 352, 416, 480)
-                      if b <= maxW} | {maxW, SMALL_W, WA})
-    eyes = {b: jnp.eye(b, dtype=dtype) for b in buckets}
+    NSs = max(2, min(conf.aed_shift_count // 2 * 2, 2 * (WA // 2)))
+    TMAX = max(1, (NSs // 2 + B - 1) // B)
+    INFW = min(96, WA)
+    eyeW = jnp.eye(WA, dtype=dtype)
 
-    def bucket_of(m):
-        for b in buckets:
-            if b >= m:
-                return b
-        return buckets[-1]
+    # chunked dispatch of the fused device program (the SEP driver's
+    # pattern, ops/schur.py): at most ``rk`` rounds per execution, the
+    # 20-byte state vector is the only per-chunk D2H traffic
+    import time as _time
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def zero_neg(Spad, Tpad, ihi):
-        # one fused dispatch + ONE packed D2H per round: H subdiagonal
-        # after negligibility zeroing, plus |diag(T)| for inf detection
-        S = lax.dynamic_slice(Spad, (P, P), (n, n))
-        S, sub = _zero_negligible(S, ihi, thresh)
-        Spad = lax.dynamic_update_slice(Spad, S, (P, P))
-        tdiag = jnp.abs(jnp.diagonal(
-            lax.dynamic_slice(Tpad, (P, P), (n, n))))
-        return Spad, jnp.stack([sub, tdiag])
-
-    info = Error.SUCCESS
-    ihi = n
-    it_seg = 0
-    last_ihi = ihi
-
-    def window_solve(pos, m):
-        Wb = bucket_of(m)
-        Sw, Tw = _masked_window_pair(Spad, Tpad, pos, m, P, Wb)
-        # make masked padding harmless for QZ: identity T on dead lanes
-        r = jnp.arange(Wb)
-        dead = ~((r[:, None] < m) & (r[None, :] < m)) & (r[:, None] == r[None, :])
-        Tw = jnp.where(dead, 1.0, Tw)
-        out = small_qz(Sw, Tw, eyes[Wb], eyes[Wb], m, thresh, thresh_t)
-        return Wb, out
-
-    INF_WB = min(96, max(buckets))
-
-    def push_inf_down(Spad, Tpad, Qpad, Zpad, j, l, ihi):
-        """Windowed chase of the T-zero at j down to the segment bottom;
-        deflates the infinite eigenvalue there.  Returns
-        (Spad, Tpad, Qpad, Zpad, new_ihi)."""
-        p = j
-        while p < ihi - 1:
-            a0 = max(p - 1, l)
-            jrel = p - a0
-            m = min(INF_WB, ihi - a0)
-            Hw, Tw = _masked_window_pair(Spad, Tpad, a0, m, P, INF_WB)
-            lrel = jrel if p == l else -1
-            Hw, Tw, Qw, Zw = _inf_chase_kernel(
-                Hw, Tw, jnp.int32(jrel), jnp.int32(m), jnp.int32(lrel),
-                INF_WB)
-            Spad, Tpad, Qpad, Zpad = _apply_window_gep(
-                Spad, Tpad, Qpad, Zpad, Qw, Zw, Hw, Tw, m, a0, False,
-                jnp.zeros((), dtype), P=P, W=INF_WB)
-            p = a0 + m - 1
-        Spad, Tpad, Zpad = _deflate_inf_bottom(Spad, Tpad, Zpad, ihi, P=P)
-        return Spad, Tpad, Qpad, Zpad, ihi - 1
-
-    while ihi > 0:
-        Spad, packed = zero_neg(Spad, Tpad, ihi)
-        packed = np.asarray(packed)
-        sub, tdiag_full = packed[0], packed[1]
-        while ihi > 0:
-            if ihi == 1 or sub[ihi - 2] == 0.0:
-                ihi -= 1
-            elif ihi == 2 or sub[ihi - 3] == 0.0:
-                ihi -= 2
-            else:
-                break
-        if ihi <= 0:
+    state = jnp.stack([jnp.int32(n), jnp.int32(0), jnp.int32(n),
+                       jnp.int32(0), jnp.int32(0)])
+    rk = max(2, min(64, 2_000_000 // max(n * WA, 1)))
+    rounds_done = 0
+    while True:
+        t0 = _time.time()
+        Spad, Tpad, Qpad, Zpad, state = _qz_fused(
+            Spad, Tpad, Qpad, Zpad, jnp.asarray(thresh, dtype),
+            jnp.asarray(thresh_t, dtype), eyeW, state=state,
+            rcap=jnp.int32(rk), P=P, WA=WA, NS=NSs, B=B, TMAX=TMAX,
+            nibble=conf.aed_nibble, itmax=conf.iteration_limit, INFW=INFW)
+        st = np.asarray(state)
+        dt = max(_time.time() - t0, 1e-3)
+        if st[0] <= 0 or st[3] != 0 or st[4] >= 2 * n + 10:
             break
-        if ihi != last_ihi:
-            it_seg = 0
-            last_ihi = ihi
-        it_seg += 1
-        if it_seg > conf.iteration_limit:
-            info = Error.DID_NOT_CONVERGE
-            break
-
-        zeros = np.nonzero(sub[:ihi - 1] == 0.0)[0]
-        l = int(zeros[-1] + 1) if zeros.size else 0
-        seg = ihi - l
-
-        # infinite eigenvalues (negligible T diagonal) inside the segment
-        tdiag = tdiag_full[l:ihi]
-        has_inf = bool((tdiag <= max(thresh_t, 0.0)).any())
-
-        if seg <= SMALL_W or (has_inf and seg <= max(buckets)):
-            Wb, (Sw, Tw, Qw, Zw, sinfo) = window_solve(l, seg)
-            Spad, Tpad, Qpad, Zpad = _apply_window_gep(
-                Spad, Tpad, Qpad, Zpad, Qw, Zw, Sw, Tw, seg, l, False,
-                jnp.zeros((), dtype), P=P, W=Wb)
-            if int(sinfo) != 0:
-                info = Error.DID_NOT_CONVERGE
-                break
-            ihi = l
-            continue
-        if has_inf:
-            # large segment: windowed push to the segment edge (reference
-            # insert_push_inf_top capability, src/schur/core.c:475-562,
-            # kernel cpu_utils.c:505-560 — unconditional T-driven chase).
-            # Bottom-most zero first: its chase path to the deflation edge
-            # crosses no other zero diagonal, so consecutive infinite
-            # eigenvalues peel one per round
-            j = l + int(np.nonzero(tdiag <= max(thresh_t, 0.0))[0][-1])
-            Spad, Tpad, Qpad, Zpad, ihi = push_inf_down(
-                Spad, Tpad, Qpad, Zpad, j, l, ihi)
-            continue
-
-        # ---- AED ----
-        w = min(WA, conf.aed_window_size, seg - 1)
-        kwtop = ihi - w
-        Wb, (Sw, Tw, Qw, Zw, sinfo) = window_solve(kwtop, w)
-        s_spike = Spad[P + kwtop, P + kwtop - 1]
-        Sw, Tw, Qw, Zw, kbot, dfail = _aed_deflate_gep(
-            Sw, Tw, Qw, Zw, s_spike, w, thresh)
-        kbot_i = int(kbot)
-        nd = w - kbot_i
-        ar_w, ai_w, bt_w = extract_eigenvalues_gen(Sw, Tw)
-        ar_w = np.asarray(ar_w)[:kbot_i]
-        ai_w = np.asarray(ai_w)[:kbot_i]
-        bt_w = np.asarray(bt_w)[:kbot_i]
-        if kbot_i > 0:
-            Sw, Tw, Qw, Zw, beta = _aed_recondense_gep(
-                Sw, Tw, Qw, Zw, s_spike, kbot)
-        else:
-            beta = jnp.zeros((), dtype)
-        Spad, Tpad, Qpad, Zpad = _apply_window_gep(
-            Spad, Tpad, Qpad, Zpad, Qw, Zw, Sw, Tw, w, kwtop, True, beta,
-            P=P, W=Wb)
-        ihi -= nd
-
-        if nd > 0 and 100 * nd >= conf.aed_nibble * w:
-            continue
-        if ihi - l <= 2:
-            continue
-
-        # shifts: generalized eigenvalues alpha/beta of the undeflated part
-        safe_bt = np.where(np.abs(bt_w) < 1e-12, 1e-12, bt_w)
-        er = ar_w / safe_bt
-        ei = ai_w / safe_bt
-        ns = min(conf.aed_shift_count, max(2, (kbot_i // 2) * 2))
-        pairs = _pair_shifts(er, ei, ns)
-        if not pairs:
-            d0 = float(Spad[P + ihi - 1, P + ihi - 1])
-            t0 = float(Tpad[P + ihi - 1, P + ihi - 1])
-            lam = d0 / t0 if abs(t0) > 1e-12 else d0
-            pairs = [(lam * 1.01, 0.0, lam * 0.99, 0.0)]
-
-        for base in range(0, len(pairs), B):
-            chunk = pairs[base:base + B]
-            arr = np.zeros((B, 4))
-            arr[:len(chunk)] = np.array(chunk)
-            if len(chunk) < B:
-                arr[len(chunk):] = arr[len(chunk) - 1]
-            Spad, Tpad, Qpad, Zpad = _qz_sweep_batch(
-                Spad, Tpad, Qpad, Zpad, P + l, P + ihi,
-                jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]),
-                jnp.asarray(arr[:, 2]), jnp.asarray(arr[:, 3]), B=B)
+        executed = max(int(st[4]) - rounds_done, 1)
+        rounds_done = int(st[4])
+        rk = int(np.clip(executed * 15.0 / dt, 1, 256)) + rounds_done
+    info = (Error.DID_NOT_CONVERGE if (int(st[3]) or int(st[0]) > 0)
+            else Error.SUCCESS)
 
     S = lax.dynamic_slice(Spad, (P, P), (n, n))
     Tt = lax.dynamic_slice(Tpad, (P, P), (n, n))
@@ -894,3 +763,234 @@ def standardize_blocks_gep(S, T, Q, Z):
     tsub = jnp.diagonal(T1, offset=-1)
     T1 = T1.at[r[1:], r[:-1]].set(jnp.where(is_start[:-1], 0.0, tsub))
     return S1, T1, Q1, Z1
+
+
+# ===========================================================================
+# fused QZ driver: the ENTIRE multishift-QZ iteration as one device program
+# (the GEP analogue of ops/schur.py:_schur_iter; reference runs one segment
+# state machine for BOTH problem types, src/schur/core.c:2295-2336).  Kills
+# the per-round np.asarray host syncs of the round-2/3 host loop.
+# ===========================================================================
+
+
+def _qz_round(Spad, Tpad, Qpad, Zpad, ihi, thresh, thresh_t, eyeW,
+              P: int, WA: int, NS: int, B: int, TMAX: int, nibble: int,
+              INFW: int):
+    """One fused QZ round: deflation scan + peel, EITHER a windowed
+    infinite-eigenvalue push (T-diagonal zero in the segment) OR an AED
+    round (window QZ solve, spike deflation, shift packing, recondense).
+
+    Returns (Spad, Tpad, Qpad, Zpad, shifts(TMAX,B,4), status(6,)) with
+    status = [new_ihi, l, ntr, fail, nd, npairs].
+    """
+    from starneig_tpu.ops.schur import _pack_shifts
+
+    NP = Spad.shape[0]
+    n = NP - 2 * P
+    dtype = Spad.dtype
+
+    # -- negligible-subdiagonal zeroing + T-diagonal magnitudes --
+    S = lax.dynamic_slice(Spad, (P, P), (n, n))
+    S, sub = _zero_negligible(S, ihi, thresh)
+    Spad = lax.dynamic_update_slice(Spad, S, (P, P))
+    tdiag = jnp.abs(jnp.diagonal(lax.dynamic_slice(Tpad, (P, P), (n, n))))
+
+    # -- converged-block peel --
+    def pcond(c):
+        ih, again = c
+        return again & (ih > 0)
+
+    def pbody(c):
+        ih, _ = c
+        one = (ih == 1) | (sub[jnp.maximum(ih - 2, 0)] == 0.0)
+        two = (~one) & ((ih == 2) | (sub[jnp.maximum(ih - 3, 0)] == 0.0))
+        nih = jnp.where(one, ih - 1, jnp.where(two, ih - 2, ih))
+        return nih, one | two
+
+    ihi, _ = lax.while_loop(pcond, pbody, (ihi, jnp.bool_(True)))
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    zb = (sub == 0.0) & (idx < ihi - 1)
+    l = jnp.max(jnp.where(zb, idx + 1, 0)).astype(jnp.int32)
+    converged = ihi <= 0
+    l = jnp.where(converged, jnp.int32(0), l)
+
+    inf_mask = (tdiag <= thresh_t) & (idx >= l) & (idx < ihi) & (~converged)
+    has_inf = jnp.any(inf_mask)
+    jinf = jnp.max(jnp.where(inf_mask, idx, jnp.int32(0))).astype(jnp.int32)
+
+    zshifts = jnp.zeros((TMAX, B, 4), dtype)
+
+    def skip(ops):
+        Spad, Tpad, Qpad, Zpad = ops
+        return (Spad, Tpad, Qpad, Zpad, zshifts, ihi, jnp.int32(0),
+                jnp.bool_(False), jnp.int32(0), jnp.int32(0))
+
+    def do_inf(ops):
+        """Chase the bottom-most T-zero down to ihi-1 in INFW windows and
+        deflate the infinite eigenvalue (reference push_inf capability,
+        cpu_utils.c:505-560); no sweep this round."""
+        Spad, Tpad, Qpad, Zpad = ops
+
+        def cond(c):
+            return c[0] < ihi - 1
+
+        def body(c):
+            p, Spad, Tpad, Qpad, Zpad = c
+            a0 = jnp.maximum(p - 1, l)
+            m = jnp.minimum(jnp.int32(INFW), ihi - a0)
+            Hw, Tw = _masked_window_pair(Spad, Tpad, a0, m, P, INFW)
+            lrel = jnp.where(p == l, p - a0, jnp.int32(-1))
+            Hw, Tw, Qw, Zw = _inf_chase_kernel(Hw, Tw, p - a0, m, lrel, INFW)
+            Spad, Tpad, Qpad, Zpad = _apply_window_gep(
+                Spad, Tpad, Qpad, Zpad, Qw, Zw, Hw, Tw, m, a0,
+                jnp.bool_(False), jnp.zeros((), dtype), P=P, W=INFW)
+            return a0 + m - 1, Spad, Tpad, Qpad, Zpad
+
+        _, Spad, Tpad, Qpad, Zpad = lax.while_loop(
+            cond, body, (jinf, Spad, Tpad, Qpad, Zpad))
+        Spad, Tpad, Zpad = _deflate_inf_bottom(Spad, Tpad, Zpad, ihi, P=P)
+        return (Spad, Tpad, Qpad, Zpad, zshifts, ihi - 1, jnp.int32(0),
+                jnp.bool_(False), jnp.int32(1), jnp.int32(0))
+
+    def do_aed(ops):
+        Spad, Tpad, Qpad, Zpad = ops
+        seg = ihi - l
+        w = jnp.minimum(jnp.int32(WA), seg)
+        kwtop = ihi - w
+        gk = P + kwtop
+
+        Sw, Tw = _masked_window_pair(Spad, Tpad, kwtop, w, P, WA)
+        r = jnp.arange(WA)
+        dead = (~((r[:, None] < w) & (r[None, :] < w))) \
+            & (r[:, None] == r[None, :])
+        Tw = jnp.where(dead, 1.0, Tw)
+        Sw, Tw, Qw, Zw, sinfo = small_qz(Sw, Tw, eyeW, eyeW, w,
+                                         thresh, thresh_t)
+        sfail = sinfo != 0
+        s_spike = jnp.where(kwtop >= 1,
+                            sub[jnp.clip(kwtop - 1, 0, n - 1)], 0.0)
+        Sw, Tw, Qw, Zw, kbot, _dfail = _aed_deflate_gep(
+            Sw, Tw, Qw, Zw, s_spike, w, thresh)
+        nd = w - kbot
+
+        ar_w, ai_w, bt_w = extract_eigenvalues_gen(Sw, Tw)
+        floor = jnp.asarray(1e-12, dtype)
+        safe_bt = jnp.where(jnp.abs(bt_w) < floor,
+                            jnp.where(bt_w < 0, -floor, floor), bt_w)
+        er = ar_w / safe_bt
+        ei = ai_w / safe_bt
+        shifts, npairs = _pack_shifts(er, ei, Sw, kbot, NS, B, TMAX)
+
+        Sw, Tw, Qw, Zw, beta = _aed_recondense_gep(Sw, Tw, Qw, Zw,
+                                                   s_spike, kbot)
+        beta = jnp.where(kbot > 0, beta, jnp.zeros((), dtype))
+        Spad, Tpad, Qpad, Zpad = _apply_window_gep(
+            Spad, Tpad, Qpad, Zpad, Qw, Zw, Sw, Tw, w, kwtop,
+            jnp.bool_(True), beta, P=P, W=WA)
+        new_ihi = ihi - nd
+
+        # exceptional fallback when the window yielded no usable pair
+        d0 = Spad[P + new_ihi - 1, P + jnp.maximum(new_ihi - 1, 0)]
+        t0 = Tpad[P + new_ihi - 1, P + jnp.maximum(new_ihi - 1, 0)]
+        lam = jnp.where(jnp.abs(t0) > floor, d0 / jnp.where(
+            jnp.abs(t0) > floor, t0, 1.0), d0)
+        fb = jnp.stack([lam * 1.01, 0 * lam, lam * 0.99, 0 * lam])
+        need_fb = npairs == 0
+        shifts = jnp.where(need_fb, jnp.broadcast_to(fb, (TMAX, B, 4)),
+                           shifts)
+        npairs = jnp.where(need_fb, 1, npairs)
+        return (Spad, Tpad, Qpad, Zpad, shifts, new_ihi, npairs, sfail,
+                nd, w)
+
+    Spad, Tpad, Qpad, Zpad, shifts, new_ihi, npairs, sfail, nd, w = \
+        lax.cond(converged, skip,
+                 lambda ops: lax.cond(has_inf, do_inf, do_aed, ops),
+                 (Spad, Tpad, Qpad, Zpad))
+
+    skip_sweep = (((nd > 0) & (100 * nd >= nibble * jnp.maximum(w, 1)))
+                  | (new_ihi - l <= 2) | converged | sfail | has_inf)
+    ntr = jnp.where(skip_sweep, 0, (npairs + B - 1) // B)
+    status = jnp.stack([new_ihi, l, ntr, sfail.astype(jnp.int32), nd,
+                        npairs]).astype(jnp.int32)
+    return Spad, Tpad, Qpad, Zpad, shifts, status
+
+
+def _qz_iter(Spad, Tpad, Qpad, Zpad, thresh, thresh_t, eyeW,
+             state=None, rcap=None, *,
+             P: int = 0, WA: int = 0, NS: int = 0, B: int = 0,
+             TMAX: int = 0, nibble: int = 0, itmax: int = 0, INFW: int = 0):
+    """The whole multishift-QZ iteration as ONE device program (the GEP
+    analogue of ops/schur.py:_schur_iter): a while_loop over fused rounds
+    + per-train sweeps, with a resume state vector and a round budget for
+    chunked dispatch under the ~60 s execution limit."""
+    NP = Spad.shape[0]
+    n = NP - 2 * P
+    if state is None:
+        state = jnp.stack([jnp.int32(n), jnp.int32(0), jnp.int32(n),
+                           jnp.int32(0), jnp.int32(0)])
+    if rcap is None:
+        rcap = jnp.int32(2 * n + 10)
+
+    def cond(st):
+        Spad, Tpad, Qpad, Zpad, ihi, it_seg, last_ihi, fail, rounds = st
+        return (ihi > 0) & (fail == 0) & (rounds < 2 * n + 10) & \
+            (rounds < rcap)
+
+    def body(st):
+        Spad, Tpad, Qpad, Zpad, ihi, it_seg, last_ihi, fail, rounds = st
+        Spad, Tpad, Qpad, Zpad, shifts, status = _qz_round(
+            Spad, Tpad, Qpad, Zpad, ihi, thresh, thresh_t, eyeW,
+            P=P, WA=WA, NS=NS, B=B, TMAX=TMAX, nibble=nibble, INFW=INFW)
+        new_ihi, l, ntr, sfail, nd, npairs = (status[i] for i in range(6))
+        it_seg = jnp.where(new_ihi != last_ihi, 0, it_seg) + 1
+        fail = ((sfail != 0) | (it_seg > itmax)).astype(jnp.int32)
+
+        def sweeps(ops):
+            Spad, Tpad, Qpad, Zpad = ops
+            steps = (new_ihi - l) - 2 + 3 * (B - 1) + 1
+
+            def train(t, ops):
+                Spad, Tpad, Qpad, Zpad = ops
+                sh = shifts[jnp.minimum(t, TMAX - 1)]
+
+                def swc(c):
+                    return c[0] < steps
+
+                def swb(c):
+                    s0, Spad, Tpad, Qpad, Zpad = c
+                    Spad, Tpad, Qpad, Zpad = _qz_sweep_chunk(
+                        Spad, Tpad, Qpad, Zpad, P + l, P + new_ihi, s0,
+                        sh[:, 0], sh[:, 1], sh[:, 2], sh[:, 3], B=B)
+                    return (s0 + jnp.int32(QZ_SWEEP_CHUNK), Spad, Tpad,
+                            Qpad, Zpad)
+
+                def run(ops):
+                    Spad, Tpad, Qpad, Zpad = ops
+                    _, Spad, Tpad, Qpad, Zpad = lax.while_loop(
+                        swc, swb, (jnp.int32(0), Spad, Tpad, Qpad, Zpad))
+                    return Spad, Tpad, Qpad, Zpad
+
+                return lax.cond(t < ntr, run, lambda o: o,
+                                (Spad, Tpad, Qpad, Zpad))
+
+            return lax.fori_loop(0, TMAX, train, (Spad, Tpad, Qpad, Zpad))
+
+        Spad, Tpad, Qpad, Zpad = lax.cond(
+            (ntr > 0) & (fail == 0), sweeps, lambda o: o,
+            (Spad, Tpad, Qpad, Zpad))
+        return (Spad, Tpad, Qpad, Zpad, jnp.where(fail != 0, ihi, new_ihi),
+                it_seg, new_ihi, fail, rounds + 1)
+
+    st = (Spad, Tpad, Qpad, Zpad, state[0], state[1], state[2], state[3],
+          state[4])
+    Spad, Tpad, Qpad, Zpad, ihi, it_seg, last_ihi, fail, rounds = \
+        lax.while_loop(cond, body, st)
+    return (Spad, Tpad, Qpad, Zpad,
+            jnp.stack([ihi, it_seg, last_ihi, fail, rounds]))
+
+
+_qz_fused = functools.partial(
+    jax.jit, donate_argnums=(0, 1, 2, 3),
+    static_argnames=("P", "WA", "NS", "B", "TMAX", "nibble", "itmax",
+                     "INFW"))(_qz_iter)

@@ -491,7 +491,8 @@ def _hops_pallas_ok(dtype, WC: int):
     within one 128-lane tile — see ops/pallas_schur.py)."""
     import os
     return (jax.default_backend() == "tpu" and dtype == jnp.float64
-            and WC <= 128 and not os.environ.get("STARNEIG_NO_PALLAS"))
+            and WC <= 128 and not os.environ.get("STARNEIG_NO_PALLAS")
+            and not os.environ.get("STARNEIG_NO_PALLAS_HOPS"))
 
 
 def _sweep_wave(Spad, Qpad, eyeWC, l, ihi, shifts, ntr, G: int, B: int,
@@ -538,6 +539,19 @@ def _sweep_wave(Spad, Qpad, eyeWC, l, ihi, shifts, ntr, G: int, B: int,
             from starneig_tpu.ops.pallas_schur import train_hops_pallas
             Wnd2, Qw = train_hops_pallas(Wnds, shifts, l_rel, ihi_rel, s0,
                                          B=B, HOP=HOP)
+            # The kernel's df32 Qw carries ~1e-12 orthogonality defect per
+            # hop; over the ~1e4 hop applications of a large solve that
+            # accumulates to ~1e-10 backward error (measured: 69k device-u
+            # at n=4000).  One Newton sweep Q(3I - Q^T Q)/2 — f64 GEMMs are
+            # 0.3u-exact on this chip — squares the defect, and the block
+            # content is recomputed as the EXACT similarity under the
+            # corrected Qw.  The kernel's exact zeros (chase plants +
+            # Hessenberg structure) are preserved positionally.
+            QtQ = jnp.einsum("gij,gik->gjk", Qw, Qw)
+            corr = 1.5 * eyeWC[None] - 0.5 * QtQ
+            Qw = jnp.einsum("gij,gjk->gik", Qw, corr)
+            gemm2 = jnp.einsum("gji,gjk,gkl->gil", Qw, Wnds, Qw)
+            Wnd2 = jnp.where(Wnd2 == 0.0, 0.0, gemm2)
         else:
             Wnd2, Qw = jax.vmap(
                 lambda Wnd, sh, lr, ir, s0g: _train_hop(
@@ -693,7 +707,9 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
         er_w, ei_w = extract_eigenvalues(Tw)
         shifts, npairs = _pack_shifts(er_w, ei_w, Tw, kbot, NS, B, TMAX)
 
-        if _hops_pallas_ok(dtype, WA + 2):
+        import os as _osr
+        if _hops_pallas_ok(dtype, WA + 2) \
+                and not _osr.environ.get("STARNEIG_NO_PALLAS_RECONDENSE"):
             from starneig_tpu.ops.pallas_schur import aed_recondense_pallas
             Tw, Vw, beta = aed_recondense_pallas(Tw, Vw, s_spike, kbot)
         else:
@@ -881,6 +897,11 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
             conf.aed_shift_count = min(
                 conf.aed_shift_count,
                 max(32, (3 * conf.aed_window_size // 4) // 2 * 2))
+        if user_conf.shifts_per_window == -1:
+            # fill the hop kernel's 128-lane tile: B = 20 bulges per train
+            # (WC = 124) halves the hop count per sweep vs the reference's
+            # window_size/3 formula at these sizes
+            conf.shifts_per_window = 40
     elif jax.default_backend() == "tpu" and n >= 1500:
         # latency-aware AED sizing (non-pallas dtypes): the reference's
         # 0.08n window amortizes over a CPU task pool; in the fused XLA

@@ -206,7 +206,8 @@ def _pallas_ok(H):
     return (jax.default_backend() == "tpu"
             and H.dtype == jnp.float64
             and H.shape[0] <= 126
-            and not os.environ.get("STARNEIG_NO_PALLAS"))
+            and not os.environ.get("STARNEIG_NO_PALLAS")
+            and not os.environ.get("STARNEIG_NO_PALLAS_FRANCIS"))
 
 
 def small_schur(H, Z, m, thresh=0.0, ilo=0, max_total_iter=0):
