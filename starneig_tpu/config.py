@@ -64,10 +64,17 @@ class SchurConf:
     aed_window_size: int = AUTO
     aed_shift_count: int = AUTO
     aed_nibble: int = AUTO               # skip sweep if AED converged > nibble% of window
+    # accepted for API parity, no-op on TPU: the reference gates whether a
+    # large AED runs as its own parallel task DAG (expert.h:253-265); here
+    # the AED window solve is always one fused device kernel, and the TPU
+    # window cap (128-lane tile) sits below the soft limit anyway
     aed_parallel_soft_limit: int = AUTO
     aed_parallel_hard_limit: int = AUTO
     window_size: int = AUTO              # bulge-chasing window ("rounded" = 2*tile)
     shifts_per_window: int = AUTO
+    # accepted for API parity, no-op on TPU: off-window updates run at full
+    # matrix width — one wide GEMM feeds the MXU better than any tiling
+    # these knobs could express (see ops/schur.py:schur docstring)
     update_width: int = AUTO
     update_height: int = AUTO
     left_threshold: str | float = DeflationCriterion.NORM_STABLE
@@ -114,8 +121,12 @@ class ReorderConf:
     """Eigenvalue reordering tunables (reference: expert.h:683-757)."""
 
     plan: str = "multi-part"             # one-part | multi-part (expert.h:439-525)
-    blueprint: str = "default"           # retained for config parity; windows are
-                                         # batched per chain on TPU
+    blueprint: str = "default"           # accepted for API parity, no-op on
+                                         # TPU: window placement is the wave
+                                         # grid, not a task blueprint
+    # small_window_*: accepted for API parity, no-op on TPU — the reference
+    # switches to LAPACK dtrsen below these sizes (expert.h:713-725); the
+    # vmapped bubble kernel has no small/large crossover to tune
     tile_size: int = AUTO
     window_size: int = AUTO              # "rounded" = 2*tile aligned to tiles
     values_per_chain: int = AUTO

@@ -58,6 +58,9 @@ def node_init(
     dtype=np.float64,
     mesh: Optional[jax.sharding.Mesh] = None,
     distributed: bool = False,
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
 ) -> Node:
     """Initialize the execution environment (reference: node.h:178).
 
@@ -66,10 +69,18 @@ def node_init(
       flags: bitwise OR of init flags (``HINT_SM``/``HINT_DM``/``NO_*``).
       dtype: default element type for solves (f64 matches the reference).
       mesh: optional pre-built device mesh for DM calls.
-      distributed: call ``jax.distributed.initialize()`` first (multi-host).
+      distributed: call ``jax.distributed.initialize()`` first (multi-host;
+        implied when explicit coordinator arguments are given).  Explicit
+        ``coordinator_address``/``num_processes``/``process_id`` support
+        launchers without cluster auto-detection — the analogue of the
+        reference's MPI_Init-by-the-user contract (node.h:73-99).
     """
     global _NODE
-    if distributed and jax.process_count() == 1:
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    elif distributed and jax.process_count() == 1:
         jax.distributed.initialize()
     if devices is None:
         devices = tuple(jax.devices())

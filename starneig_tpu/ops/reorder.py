@@ -288,7 +288,10 @@ def reorder_schur(S, Q, select, conf: Optional[ReorderConf] = None):
     ratio = float(sel.sum()) / max(n, 1)
     rconf = conf.resolve(n, workers=1, select_ratio=ratio)
     W = min(rconf.window_size, n)
-    cap = W if W >= n else max(2, W // 2)
+    # values moved per window pass: the reference's values_per_chain knob
+    # (expert.h:727-733; default ~W/2 - 2) bounds how many selected rows a
+    # window carries before handing off to the next chain window
+    cap = W if W >= n else max(2, min(rconf.values_per_chain, W // 2))
     total_fail = 0
 
     while True:
@@ -462,7 +465,10 @@ def reorder_schur_gep(S, T, Q, Z, select, conf: Optional[ReorderConf] = None):
     ratio = float(sel.sum()) / max(n, 1)
     rconf = conf.resolve(n, workers=1, select_ratio=ratio)
     W = min(rconf.window_size, n)
-    cap = W if W >= n else max(2, W // 2)
+    # values moved per window pass: the reference's values_per_chain knob
+    # (expert.h:727-733; default ~W/2 - 2) bounds how many selected rows a
+    # window carries before handing off to the next chain window
+    cap = W if W >= n else max(2, min(rconf.values_per_chain, W // 2))
     total_fail = 0
 
     while True:
