@@ -60,3 +60,32 @@ def test_reorder_n2000_acceptance():
     assert rinfo in (Error.SUCCESS, Error.PARTIAL_REORDERING)
     res = residual_sep(A, np.asarray(S2), np.asarray(Q2))
     assert res < 500 and m > 0
+
+
+@pytest.mark.skipif(os.environ.get("STARNEIG_ACCEPTANCE") != "1",
+                    reason="CI-scale run; set STARNEIG_ACCEPTANCE=1")
+def test_sep_chain_n5000_acceptance():
+    """Reference CI scale (test/CMakeLists.txt:302-358 solves n=5000 per
+    component)."""
+    res, orth = _full_chain(5000, seed=0)
+    assert res < 500 and orth < 500, (res, orth)
+
+
+@pytest.mark.skipif(os.environ.get("STARNEIG_ACCEPTANCE") != "1",
+                    reason="CI-scale run; set STARNEIG_ACCEPTANCE=1")
+def test_gep_chain_n2000_acceptance():
+    """GEP acceptance tier (the round-3 verdict: nothing GEP above n=150).
+
+    Full fused-QZ chain on a known-spectrum pencil with infinite
+    eigenvalues, gated at the reference warn threshold."""
+    from starneig_tpu.api import gep
+    from starneig_tpu.testing.generators import known_spectrum_pencil
+    from starneig_tpu.testing import residual_gep
+
+    n = 2000
+    A, B, *_known = known_spectrum_pencil(n, seed=1, inf_ratio=0.1)
+    S, T, Q, Z, ar, ai, bt, nsel, info = gep.reduce(A, B)
+    assert info == Error.SUCCESS
+    ra, rb = residual_gep(A, B, np.asarray(S), np.asarray(T),
+                          np.asarray(Q), np.asarray(Z))
+    assert ra < 500 and rb < 500, (ra, rb)
