@@ -63,8 +63,16 @@ _F0, _F1 = np.float32(0.0), np.float32(1.0)
 
 
 def _band(hi_ref, lo_ref, r0, rows: int):
-    """(rows, W) Df band starting at dynamic row r0."""
-    return Df(hi_ref[pl.ds(r0, rows), :], lo_ref[pl.ds(r0, rows), :])
+    """(rows, W) Df band starting at dynamic row r0.
+
+    Read ROW BY ROW: Mosaic supports unaligned dynamic multi-row vector
+    loads only within a single 128-lane tile, but single dynamic rows
+    work at any width (measured round 4) — per-row reads keep the kernel
+    W-agnostic so the AED window can grow past 126.
+    """
+    his = [hi_ref[pl.ds(r0 + np.int32(j), 1), :] for j in range(rows)]
+    los = [lo_ref[pl.ds(r0 + np.int32(j), 1), :] for j in range(rows)]
+    return Df(jnp.concatenate(his, axis=0), jnp.concatenate(los, axis=0))
 
 
 def _write_row(hi_ref, lo_ref, r, val):
@@ -149,8 +157,10 @@ def _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
     def col_pass(last_row, update_fn):
         """Row-chunked pass over rows [0, last_row]: update_fn(band)->band."""
         def body(c):
-            base = c * _CH
-            Bb = _band(Shi, Slo, base, _CH)
+            # chunk starts are _CH-aligned by construction; the hint lets
+            # Mosaic prove it and emit one multi-row load at any W
+            base = pl.multiple_of(c * _CH, _CH)
+            Bb = Df(Shi[pl.ds(base, _CH), :], Slo[pl.ds(base, _CH), :])
             Bn = update_fn(Bb)
             Shi[pl.ds(base, _CH), :] = Bn.hi
             Slo[pl.ds(base, _CH), :] = Bn.lo
@@ -387,10 +397,10 @@ def small_schur_pallas(H, Z, m, thresh=0.0, ilo=0, max_total_iter=0,
     Z = jnp.asarray(Z)
     w = H.shape[0]
     dtype = H.dtype
-    # Mosaic supports UNALIGNED dynamic sublane bands only within a single
-    # 128-lane tile (measured: multi-row pl.ds at W=256 demands 8-aligned
-    # starts) — the kernel therefore runs at W=128, windows up to 126
-    W = 128
+    # the kernel is W-agnostic (per-row band reads + aligned chunk loads);
+    # W=128 for windows that fit one lane tile, else 384 (reference-scale
+    # AED windows)
+    W = 128 if w + 2 <= 128 else 384
     if w + 2 > W:
         raise ValueError(f"small_schur_pallas window {w} > {W - 2}")
     if max_total_iter == 0:
@@ -683,15 +693,26 @@ def train_hops_pallas(Wnds, shifts, l_rels, ihi_rels, s0s,
 
 
 def _tree_sum(x, axis: int):
-    """Pairwise-halving df sum along ``axis`` (size must be a power of 2)."""
+    """Pairwise-halving df sum along ``axis`` (any size; odd levels fold
+    their tail element into the head before halving)."""
+    from starneig_tpu.ops.df32 import df_add
+
+    def sl(h, l, a, b):
+        if axis == 0:
+            return (h[a:b], l[a:b])
+        return (h[:, a:b], l[:, a:b])
+
     hi, lo = x.hi, x.lo
     while hi.shape[axis] > 1:
-        half = hi.shape[axis] // 2
-        if axis == 0:
-            a, b = (hi[:half], lo[:half]), (hi[half:], lo[half:])
-        else:
-            a, b = (hi[:, :half], lo[:, :half]), (hi[:, half:], lo[:, half:])
-        from starneig_tpu.ops.df32 import df_add
+        nn = hi.shape[axis]
+        if nn % 2 == 1:
+            h0, l0 = df_add(sl(hi, lo, 0, 1), sl(hi, lo, nn - 1, nn))
+            h1, l1 = sl(hi, lo, 1, nn - 1)
+            hi = jnp.concatenate([h0, h1], axis=axis)
+            lo = jnp.concatenate([l0, l1], axis=axis)
+            nn -= 1
+        half = nn // 2
+        a, b = sl(hi, lo, 0, half), sl(hi, lo, half, nn)
         hi, lo = df_add(a, b)
     return Df(hi, lo)
 
@@ -851,7 +872,7 @@ def aed_recondense_pallas(Tw, Vw, s, kbot, interpret: bool = False):
     Vw = jnp.asarray(Vw)
     WA = Tw.shape[0]
     dtype = Tw.dtype
-    W = 128
+    W = 128 if WA + 2 <= 128 else 384
     if WA > W - 2:
         raise ValueError(f"recondense window {WA} > {W - 2}")
     Tp = jnp.zeros((W, W), dtype).at[:WA, :WA].set(Tw)

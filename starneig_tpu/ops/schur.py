@@ -891,8 +891,10 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
         # window at 124 (+2 slack rows).  The reference's 0.08n window
         # (process_args.c:116-138) would exceed it above n~1550; more,
         # cheaper rounds win on this hardware.  Explicit expert values win.
+        import os as _ose
+        wa_cap = 380 if _ose.environ.get("STARNEIG_AED_W384") else 124
         if auto_aed:
-            conf.aed_window_size = min(conf.aed_window_size, 124)
+            conf.aed_window_size = min(conf.aed_window_size, wa_cap)
         if auto_ns:
             conf.aed_shift_count = min(
                 conf.aed_shift_count,

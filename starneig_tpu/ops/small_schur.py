@@ -205,7 +205,7 @@ def _pallas_ok(H):
     import os
     return (jax.default_backend() == "tpu"
             and H.dtype == jnp.float64
-            and H.shape[0] <= 126
+            and H.shape[0] <= 382
             and not os.environ.get("STARNEIG_NO_PALLAS")
             and not os.environ.get("STARNEIG_NO_PALLAS_FRANCIS"))
 
