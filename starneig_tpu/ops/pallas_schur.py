@@ -51,6 +51,8 @@ from starneig_tpu.ops.df_prim import (
 # STARNEIG_DF_ULP_LOG2 overrides (accuracy/iteration-count tradeoff).
 import os as _os
 ULP = float(2.0 ** int(_os.environ.get("STARNEIG_DF_ULP_LOG2", "-46")))
+# vigilant deflation inside the hop kernel (off with STARNEIG_VIGILANT=0)
+VIGILANT = _os.environ.get("STARNEIG_VIGILANT", "1") != "0"
 ITMAX_PER_BLOCK = 30    # exceptional-shift cadence 10, hard cap (LAPACK)
 _CH = 8                 # row-chunk height for lane-masked column passes
 
@@ -461,18 +463,18 @@ def _phase_sum3(P, jphase, axis: int):
     return s
 
 
-def _train_hops_kernel(lrel_s, ihir_s, s0_s, shr_hi, shr_lo, Whi, Wlo,
+def _train_hops_kernel(lrel_s, ihir_s, s0_s, th_s, shr_hi, shr_lo, Whi, Wlo,
                        Ohi, Olo, Qthi, Qtlo, *, W: int, B: int, HOP: int,
                        guard: bool = False):
     import contextlib
     from starneig_tpu.ops import df32 as _df32
     ctx = contextlib.nullcontext() if guard else _df32.no_guard()
     with ctx:
-        _train_hops_body(lrel_s, ihir_s, s0_s, shr_hi, shr_lo, Whi, Wlo,
-                         Ohi, Olo, Qthi, Qtlo, W=W, B=B, HOP=HOP)
+        _train_hops_body(lrel_s, ihir_s, s0_s, th_s, shr_hi, shr_lo, Whi,
+                         Wlo, Ohi, Olo, Qthi, Qtlo, W=W, B=B, HOP=HOP)
 
 
-def _train_hops_body(lrel_s, ihir_s, s0_s, shr_hi, shr_lo, Whi, Wlo,
+def _train_hops_body(lrel_s, ihir_s, s0_s, th_s, shr_hi, shr_lo, Whi, Wlo,
                      Ohi, Olo, Qthi, Qtlo, *, W: int, B: int, HOP: int):
     """One train's HOP chase steps.  Refs: shr_* (B, 4) REVERSED shifts
     (sublane b <-> row-triple b of the train block); O (window, in/out via
@@ -488,6 +490,7 @@ def _train_hops_body(lrel_s, ihir_s, s0_s, shr_hi, shr_lo, Whi, Wlo,
     l_rel = lrel_s[g]
     ihi_rel = ihir_s[g]
     s0 = s0_s[g]
+    th = th_s[0]
 
     lane = lax.broadcasted_iota(jnp.int32, (1, W), 1)
     sub3 = lax.broadcasted_iota(jnp.int32, (3 * B, 1), 0)
@@ -546,12 +549,25 @@ def _train_hops_body(lrel_s, ihir_s, s0_s, shr_hi, shr_lo, Whi, Wlo,
         intro = active & (kq == l_rel)
         use3 = kq <= ihi_rel - 3
 
+        # vigilant deflation (reference starneig_check_deflations,
+        # cpu_utils.c:1060, used mid-sweep at 1309-1434): a bulge whose
+        # whole chase column went negligible has converged early — plant
+        # the exact zeros (a new deflation boundary the driver's next scan
+        # will find) and REINTRODUCE the shift pair right here
+        col_mag = jnp.maximum(jnp.abs(x0c.hi),
+                              jnp.maximum(jnp.abs(x1c.hi),
+                                          jnp.abs(x2c.hi)))
+        tst_v = jnp.abs(h00.hi) + jnp.abs(h11.hi)
+        vigil = active & (~intro) & np.bool_(VIGILANT) & \
+            (col_mag <= jnp.maximum(np.float32(ULP) * tst_v, th))
+        as_intro = intro | vigil
+
         vi0, vi1, vi2 = df_first_column_shifted(
             ((h00, h01, h02), (h10, h11, h12), (h20, h21, h22)),
             sr1e, si1e, sr2e, si2e, use3)
-        x0 = dfw(intro, vi0, x0c)
-        x1 = dfw(intro, vi1, x1c)
-        x2 = dfw(intro, vi2, dfw(use3, x2c, Df(0.0)))
+        x0 = dfw(as_intro, vi0, x0c)
+        x1 = dfw(as_intro, vi1, x1c)
+        x2 = dfw(as_intro, vi2, dfw(use3, x2c, Df(0.0)))
         v1, v2, tau, beta = df_householder3(x0, x1, x2, use3)
         tau = dfw(active, tau, Df(0.0))
 
@@ -565,13 +581,16 @@ def _train_hops_body(lrel_s, ihir_s, s0_s, shr_hi, shr_lo, Whi, Wlo,
         TBn = TB - (tau * Vexp) * w_exp
 
         # ---- exact chase-column plant (between left and right) ----
+        # chase steps plant beta + zeros; vigilant collapses plant ALL
+        # zeros (the deflated boundary)
         fix = active & ~intro
         pm = (lane3 == kq - 1) & fix
-        bete = beta  # expanded (3B, 1) already
-        TBn = Df(jnp.where(pm & (jq == 0), bete.hi,
+        bh = jnp.where(vigil, _F0, beta.hi)
+        bl = jnp.where(vigil, _F0, beta.lo)
+        TBn = Df(jnp.where(pm & (jq == 0), bh,
                            jnp.where(pm & ((jq == 1) | (use3 & (jq == 2))),
                                      _F0, TBn.hi)),
-                 jnp.where(pm & (jq == 0), bete.lo,
+                 jnp.where(pm & (jq == 0), bl,
                            jnp.where(pm & ((jq == 1) | (use3 & (jq == 2))),
                                      _F0, TBn.lo)))
         Ohi[pl.ds(loc, 3 * B), :] = TBn.hi
@@ -623,7 +642,7 @@ def _train_hops_body(lrel_s, ihir_s, s0_s, shr_hi, shr_lo, Whi, Wlo,
 
 
 @functools.partial(jax.jit, static_argnames=("B", "HOP", "W", "interpret"))
-def _train_hops_call(lrels, ihirs, s0s, shr_hi, shr_lo, Whi, Wlo,
+def _train_hops_call(lrels, ihirs, s0s, ths, shr_hi, shr_lo, Whi, Wlo,
                      B: int, HOP: int, W: int, interpret: bool = False):
     G = Whi.shape[0]
     blk = pl.BlockSpec((None, W, W),
@@ -646,15 +665,18 @@ def _train_hops_call(lrels, ihirs, s0s, shr_hi, shr_lo, Whi, Wlo,
         out_shape=out_shape,
         in_specs=[
             smem, smem, smem,
+            pl.BlockSpec((1,), lambda g: (np.int32(0),),
+                         memory_space=pltpu.SMEM),
             sblk, sblk, blk, blk,
         ],
         out_specs=(blk, blk, blk, blk),
         interpret=interpret,
-    )(lrels, ihirs, s0s, shr_hi, shr_lo, Whi, Wlo)
+    )(lrels, ihirs, s0s, ths, shr_hi, shr_lo, Whi, Wlo)
 
 
 def train_hops_pallas(Wnds, shifts, l_rels, ihi_rels, s0s,
-                      B: int, HOP: int, interpret: bool = False):
+                      B: int, HOP: int, thresh=0.0,
+                      interpret: bool = False):
     """Batched drop-in for vmapped :func:`ops.schur._train_hop`.
 
     Args: Wnds (G, WC, WC) f64 chase windows; shifts (G, B, 4) with rows
@@ -674,9 +696,10 @@ def train_hops_pallas(Wnds, shifts, l_rels, ihi_rels, s0s,
     shr = jnp.repeat(jnp.asarray(shifts)[:, ::-1, :], 3, axis=1)
     shr_hi, shr_lo = df_from_f64(shr)
     i32 = lambda x: jnp.asarray(x).astype(jnp.int32)
+    ths = jnp.asarray(thresh, dtype).astype(jnp.float32).reshape(1)
     Ohi, Olo, Qthi, Qtlo = _train_hops_call(
-        i32(l_rels), i32(ihi_rels), i32(s0s), shr_hi, shr_lo, Whi, Wlo,
-        B=B, HOP=HOP, W=W, interpret=interpret)
+        i32(l_rels), i32(ihi_rels), i32(s0s), ths, shr_hi, shr_lo, Whi,
+        Wlo, B=B, HOP=HOP, W=W, interpret=interpret)
     Wnd2 = (Ohi.astype(dtype) + Olo.astype(dtype))[:, :WC, :WC]
     Qw = jnp.swapaxes(
         Qthi.astype(dtype) + Qtlo.astype(dtype), 1, 2)[:, :WC, :WC]

@@ -496,7 +496,7 @@ def _hops_pallas_ok(dtype, WC: int):
 
 
 def _sweep_wave(Spad, Qpad, eyeWC, l, ihi, shifts, ntr, G: int, B: int,
-                ext=DenseExtent):
+                ext=DenseExtent, thresh=0.0):
     """Chase up to G staggered B-bulge trains across [l, ihi) in ONE pass.
 
     The TPU-native form of the reference's pipelined window chains
@@ -538,7 +538,7 @@ def _sweep_wave(Spad, Qpad, eyeWC, l, ihi, shifts, ntr, G: int, B: int,
         if _hops_pallas_ok(Spad.dtype, WC):
             from starneig_tpu.ops.pallas_schur import train_hops_pallas
             Wnd2, Qw = train_hops_pallas(Wnds, shifts, l_rel, ihi_rel, s0,
-                                         B=B, HOP=HOP)
+                                         B=B, HOP=HOP, thresh=thresh)
             # The kernel's df32 Qw carries ~1e-12 orthogonality defect per
             # hop; over the ~1e4 hop applications of a large solve that
             # accumulates to ~1e-10 backward error (measured: 69k device-u
@@ -811,7 +811,8 @@ def _schur_iter(Spad, Qpad, thresh, eyeW, eyeWC, state=None, rcap=None,
         def sweeps(ops):
             Spad, Qpad = ops
             return _sweep_wave(Spad, Qpad, eyeWC, P + l, P + new_ihi,
-                               shifts, ntr, G=TMAX, B=B, ext=ext)
+                               shifts, ntr, G=TMAX, B=B, ext=ext,
+                               thresh=thresh)
 
         Spad, Qpad = lax.cond((ntr > 0) & (fail == 0), sweeps,
                               lambda ops: ops, (Spad, Qpad))
