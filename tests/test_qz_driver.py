@@ -89,3 +89,12 @@ def test_qz_driver_inf_large_segment():
     bt_np = np.asarray(bt)
     n_inf_found = int((np.abs(bt_np) <= 1e-12 * np.abs(bt_np).max()).sum())
     assert n_inf_found >= len(inf_pos), bt_np[np.argsort(np.abs(bt_np))[:8]]
+
+
+def test_qz_driver_n256_default_conf():
+    """Fused-driver AED path at default geometry above the round-3 n=150
+    ceiling: realistic window sizing, several rounds, device-side shift
+    packing."""
+    A, B, S, Tt, Q, Z, ar, ai, bt, info = _run(256, seed=9)
+    assert info == Error.SUCCESS
+    _check(A, B, S, Tt, Q, Z)
