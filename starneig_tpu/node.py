@@ -77,9 +77,18 @@ def node_init(
     """
     global _NODE
     if coordinator_address is not None:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
+        if (num_processes is None) != (process_id is None):
+            raise ValueError(
+                "num_processes and process_id must be given together with "
+                "an explicit coordinator_address")
+        # idempotent like the `distributed=True` branch: a second
+        # node_init (or one after an implicit initialize) must not raise.
+        # NB: is_initialized() does not touch the XLA backend (process_count
+        # would, and initialize() must run before backend init).
+        if not jax.distributed.is_initialized():
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
     elif distributed and jax.process_count() == 1:
         jax.distributed.initialize()
     if devices is None:

@@ -54,7 +54,11 @@ ULP = float(2.0 ** int(_os.environ.get("STARNEIG_DF_ULP_LOG2", "-46")))
 # vigilant deflation inside the hop kernel (off with STARNEIG_VIGILANT=0)
 VIGILANT = _os.environ.get("STARNEIG_VIGILANT", "1") != "0"
 ITMAX_PER_BLOCK = 30    # exceptional-shift cadence 10, hard cap (LAPACK)
-_CH = 8                 # row-chunk height for lane-masked column passes
+# row-chunk height for lane-masked column passes.  Round-5 hardware scan
+# at W=384: CH=8 wins (8.6 ms vs 13.6 ms at CH=32 for a full 380-window
+# solve) — active blocks are short (~12 rows typical), so most col_passes
+# span 1-2 chunks and bigger chunks only waste VPU work.  Overridable.
+_CH = int(_os.environ.get("STARNEIG_PALLAS_CH", "8"))
 
 # state-machine modes (flat while_loop: one scan OR one chase step/iter)
 # np scalars: Python ints inside jnp.where recurse during weak-type
@@ -156,8 +160,19 @@ def _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
     diag_mask = (rows2 == cols2).astype(jnp.float32)
     sub_mask = (rows2 == cols2 + 1).astype(jnp.float32)
 
-    def col_pass(last_row, update_fn):
-        """Row-chunked pass over rows [0, last_row]: update_fn(band)->band."""
+    def col_pass(last_row, update_fn, first_row=None):
+        """Row-chunked pass over rows [first_row, last_row] (chunk-aligned;
+        default first_row=0): update_fn(band)->band.
+
+        Band-limiting (round 5): the sweep's right update only needs rows
+        [k, k+3] kept current — every later in-kernel read (gathers at rows
+        >= k, diag/subdiag scans, trailing 2x2s) sees rows r >= j of each
+        past step j, and the strictly-upper rows above the band are never
+        read for decisions.  The final S is recomputed OUTSIDE the kernel
+        as Q^T H Q in f64 (see :func:`small_schur_pallas`), so deferred
+        upper-triangle content never needs to exist in-kernel.  This makes
+        the per-step cost O(W) instead of O(k W) — the difference between
+        0.4 us and 7.5 us per step at W=384 (measured round 5)."""
         def body(c):
             # chunk starts are _CH-aligned by construction; the hint lets
             # Mosaic prove it and emit one multi-row load at any W
@@ -168,7 +183,9 @@ def _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
             Slo[pl.ds(base, _CH), :] = Bn.lo
             return c + np.int32(1)
 
-        lax.while_loop(lambda c: c * _CH <= last_row, body, jnp.int32(0))
+        c0 = jnp.int32(0) if first_row is None else \
+            (jnp.maximum(first_row, 0) // np.int32(_CH)).astype(jnp.int32)
+        lax.while_loop(lambda c: c * _CH <= last_row, body, c0)
 
     def loop_cond(st):
         return (st[1] >= ilo) & (st[5] == 0) & (st[4] < maxiter)
@@ -314,6 +331,11 @@ def _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
                 wch = b0 + v1 * b1 + v2 * b2
                 return Bb - (tau * wch) * vlane
 
+            # NOTE round 5: band-limiting this pass (rows [k-2, k+3]) is
+            # unsound — left updates mix a row full-width, so stale
+            # strictly-upper entries walk down ~2 rows per sweep and reach
+            # the decision band after a few sweeps (measured divergence at
+            # n=16).  Rows above the bulge must stay current.
             col_pass(k + 3, right_update)
 
             # Zt rows k..k+2 (Z columns k..k+2)
@@ -391,24 +413,34 @@ def small_schur_pallas(H, Z, m, thresh=0.0, ilo=0, max_total_iter=0,
 
     H, Z are (w, w) f64 arrays (JAX emulated f64 on TPU); m the dynamic
     active size; thresh the absolute deflation floor.  Returns (S, Z, info)
-    with identical semantics.  The kernel buffer is padded to the next
-    multiple of 128 with 2 guard rows (the 3-row chase band may touch row
-    m), and Z travels transposed (see :func:`_francis_kernel`).
+    with identical semantics.
+
+    Round-5 structure: the kernel runs BAND-LIMITED (right updates confined
+    to rows [k-1, k+3]; see ``col_pass``) with a pure-identity internal
+    accumulator, so its S output is only trustworthy on the |r-c| <= 1 band
+    (diag, subdiag — with the exact planted deflation zeros and
+    standardized 2x2 blocks — and superdiag).  The wrapper rebuilds the
+    strict upper triangle exactly: Newton-orthonormalize the kernel's Q
+    (f64 GEMMs are ~0.3u-exact on this chip; the df32 accumulation defect
+    ~1e-11 squares to negligible), recompute S = Q^T H Q in f64, and merge
+    {strict lower: 0, band: kernel, strict upper: recompute}.  This is
+    both ~15x faster at W=384 (0.5 vs 7.5 us/step) and MORE accurate than
+    the round-4 full in-kernel update (strict upper is now f64-exact).
     """
     H = jnp.asarray(H)
     Z = jnp.asarray(Z)
     w = H.shape[0]
     dtype = H.dtype
     # the kernel is W-agnostic (per-row band reads + aligned chunk loads);
-    # W=128 for windows that fit one lane tile, else 384 (reference-scale
-    # AED windows)
-    W = 128 if w + 2 <= 128 else 384
+    # the buffer snaps to the smallest 128-lane-multiple tier with 2 guard
+    # rows (the 3-row chase band may touch row m)
+    W = 128 if w + 2 <= 128 else (256 if w + 2 <= 256 else 384)
     if w + 2 > W:
         raise ValueError(f"small_schur_pallas window {w} > {W - 2}")
     if max_total_iter == 0:
         max_total_iter = 30 * w
     Hp = jnp.zeros((W, W), dtype).at[:w, :w].set(H)
-    Ztp = jnp.zeros((W, W), dtype).at[:w, :w].set(Z.T)
+    Ztp = jnp.eye(W, dtype=dtype)
     Hhi, Hlo = df_from_f64(Hp)
     Zthi, Ztlo = df_from_f64(Ztp)
     iscal = jnp.stack([jnp.asarray(m), jnp.asarray(ilo),
@@ -417,9 +449,15 @@ def small_schur_pallas(H, Z, m, thresh=0.0, ilo=0, max_total_iter=0,
     fscal = jnp.stack([thf, jnp.float32(0.0)])
     Shi, Slo, Zohi, Zolo, info = _francis_call(
         iscal, fscal, Hhi, Hlo, Zthi, Ztlo, W=W, interpret=interpret)
-    S = (Shi.astype(dtype) + Slo.astype(dtype))[:w, :w]
-    Zt = (Zohi.astype(dtype) + Zolo.astype(dtype))[:w, :w]
-    return S, Zt.T, info[0]
+    Sk = (Shi.astype(dtype) + Slo.astype(dtype))[:w, :w]
+    Qk = jnp.swapaxes(Zohi.astype(dtype) + Zolo.astype(dtype), 0, 1)[:w, :w]
+    # Newton re-orthonormalization + exact-similarity recompute (f64)
+    Qc = Qk @ (1.5 * jnp.eye(w, dtype=dtype) - 0.5 * (Qk.T @ Qk))
+    Srec = Qc.T @ H @ Qc
+    r = jnp.arange(w)
+    dr = r[None, :] - r[:, None]                    # col - row
+    S = jnp.where(dr >= 2, Srec, jnp.where(jnp.abs(dr) <= 1, Sk, 0.0))
+    return S, Z @ Qc, info[0]
 
 
 # ---------------------------------------------------------------------------

@@ -944,7 +944,10 @@ def _qz_iter(Spad, Tpad, Qpad, Zpad, thresh, thresh_t, eyeW,
             P=P, WA=WA, NS=NS, B=B, TMAX=TMAX, nibble=nibble, INFW=INFW)
         new_ihi, l, ntr, sfail, nd, npairs = (status[i] for i in range(6))
         it_seg = jnp.where(new_ihi != last_ihi, 0, it_seg) + 1
-        fail = ((sfail != 0) | (it_seg > itmax)).astype(jnp.int32)
+        # a non-converged AED window is NOT fatal (LAPACK dlaqr3 semantics:
+        # use whatever deflated, skip the sweep — _qz_round already zeroes
+        # ntr on sfail); only the per-segment iteration limit fails
+        fail = (it_seg > itmax).astype(jnp.int32)
 
         def sweeps(ops):
             Spad, Tpad, Qpad, Zpad = ops

@@ -551,7 +551,15 @@ def _sweep_wave(Spad, Qpad, eyeWC, l, ihi, shifts, ntr, G: int, B: int,
             corr = 1.5 * eyeWC[None] - 0.5 * QtQ
             Qw = jnp.einsum("gij,gjk->gik", Qw, corr)
             gemm2 = jnp.einsum("gji,gjk,gkl->gil", Qw, Wnds, Qw)
-            Wnd2 = jnp.where(Wnd2 == 0.0, 0.0, gemm2)
+            # kernel-planted structural zeros (chase plants, vigilant
+            # collapses, Hessenberg band) all live in the r > c triangle;
+            # pinning only there keeps planted deflation zeros exact while
+            # upper-triangle cancellation zeros take the exact similarity
+            # (an accidental r > c cancellation zero is a backward-error-
+            # sized perturbation)
+            rw = jnp.arange(WC)
+            low = rw[:, None] > rw[None, :]
+            Wnd2 = jnp.where(low[None] & (Wnd2 == 0.0), 0.0, gemm2)
         else:
             Wnd2, Qw = jax.vmap(
                 lambda Wnd, sh, lr, ir, s0g: _train_hop(
@@ -806,7 +814,10 @@ def _schur_iter(Spad, Qpad, thresh, eyeW, eyeWC, state=None, rcap=None,
             P=P, WA=WA, NS=NS, B=B, TMAX=TMAX, nibble=nibble, ext=ext)
         new_ihi, l, ntr, sfail, nd, npairs = (status[i] for i in range(6))
         it_seg = jnp.where(new_ihi != last_ihi, 0, it_seg) + 1
-        fail = ((sfail != 0) | (it_seg > itmax)).astype(jnp.int32)
+        # a non-converged AED window is NOT fatal (LAPACK dlaqr3 semantics:
+        # use whatever deflated, skip the sweep — _aed_round already zeroes
+        # ntr on sfail); only the per-segment iteration limit fails
+        fail = (it_seg > itmax).astype(jnp.int32)
 
         def sweeps(ops):
             Spad, Qpad = ops

@@ -476,8 +476,15 @@ def reorder_dm(S, Q, select, mesh: Optional[Mesh] = None, conf=None):
             break
         guard += 1
         if guard > 16 * (n // max(W // 2, 1) + 2):
+            from starneig_tpu.node import log
+            log.warning(
+                "reorder_dm: window passes stalled after %d rounds "
+                "(n=%d, W=%d, %d selected not yet in the leading block) — "
+                "giving up with PARTIAL_REORDERING", guard, n, W,
+                int(sel[m:n].sum()))
             total_fail += 1
             break
+        tail_batch = []
         if n < 2 * W or seq_mode:
             # sequential window chain (small problems / stragglers): the
             # same sharded pass with G=1
@@ -490,37 +497,37 @@ def reorder_dm(S, Q, select, mesh: Optional[Mesh] = None, conf=None):
             start = m + (offset_toggle * (W // 2))
             offset_toggle ^= 1
             ws_list = list(range(start, n - W + 1, W))
-            if ws_list and ws_list[-1] + W < n:
-                tail = n - W
-                if tail >= ws_list[-1] + W:
-                    ws_list.append(tail)
             if not ws_list:
                 ws_list = [n - W]
+            elif ws_list[-1] + W < n:
+                # the leftover past the last disjoint window is < W; the
+                # overlapping n-W window runs as its own second batch (it
+                # would break wavefront disjointness in the first) —
+                # mirrors the dense path, ops/reorder.py:559-566
+                tail_batch = [n - W]
         # one padded fixed-G batch per pass (parked windows no-op)
-        group = ws_list[:GMAX]
-        G = GMAX
-        ws_arr = np.full((G,), int(park), np.int64)
-        ws_arr[:len(group)] = group
-        wlo = np.zeros((G,), np.int32)
-        wlim = np.full((G,), W, np.int32)
-        sels = np.zeros((G, W), bool)
-        for g, w0 in enumerate(group):
-            wlo[g] = 1 if (w0 > 0 and subdiag[w0 - 1] != 0) else 0
-            wlim[g] = W - 1 if (w0 + W < n and subdiag[w0 + W - 1] != 0) \
-                else W
-            sels[g] = sel[w0:w0 + W]
-        pass_fn = _make_reorder_pass(mesh, W, axname, nd)
-        Sp, Qp, sel2, dsts, nfails, subfull = pass_fn(
-            Sp, Qp, jnp.asarray(ws_arr, jnp.int32), jnp.asarray(wlo),
-            jnp.asarray(wlim), jnp.asarray(sels))
-        total_fail += int(np.asarray(nfails)[:len(group)].sum())
-        sel2 = np.asarray(sel2)
-        for g, w0 in enumerate(group):
-            sel[w0:w0 + W] = sel2[g]
-        subdiag = np.asarray(subfull)[:n].copy()   # subfull[j] = S[j+1, j]
-        subdiag[n - 1] = 0.0
-        if len(group) == 1 and not seq_mode and n >= 2 * W:
-            pass
+        for group in [ws_list[:GMAX]] + ([tail_batch] if tail_batch else []):
+            G = GMAX
+            ws_arr = np.full((G,), int(park), np.int64)
+            ws_arr[:len(group)] = group
+            wlo = np.zeros((G,), np.int32)
+            wlim = np.full((G,), W, np.int32)
+            sels = np.zeros((G, W), bool)
+            for g, w0 in enumerate(group):
+                wlo[g] = 1 if (w0 > 0 and subdiag[w0 - 1] != 0) else 0
+                wlim[g] = W - 1 if (w0 + W < n and subdiag[w0 + W - 1] != 0) \
+                    else W
+                sels[g] = sel[w0:w0 + W]
+            pass_fn = _make_reorder_pass(mesh, W, axname, nd)
+            Sp, Qp, sel2, dsts, nfails, subfull = pass_fn(
+                Sp, Qp, jnp.asarray(ws_arr, jnp.int32), jnp.asarray(wlo),
+                jnp.asarray(wlim), jnp.asarray(sels))
+            total_fail += int(np.asarray(nfails)[:len(group)].sum())
+            sel2 = np.asarray(sel2)
+            for g, w0 in enumerate(group):
+                sel[w0:w0 + W] = sel2[g]
+            subdiag = np.asarray(subfull)[:n].copy()  # subfull[j] = S[j+1, j]
+            subdiag[n - 1] = 0.0
         if guard > 8 * (n // max(W // 2, 1) + 2):
             seq_mode = True
 
