@@ -164,6 +164,264 @@ def df_standardize_2x2(a, b, c, d, eps32=float(2 ** -45)):
     return aa_f, bb_f, cc_f, dd_f, cs_f, sn_f
 
 
+def df_solve4(A, b):
+    """Solve a 4x4 Df system by unrolled Gauss-Jordan with partial
+    pivoting (scalar port of ops/swaps.py:_solve4 — compare-swap chains
+    stand in for argmax row pivoting)."""
+    tiny = Df(float(2.0 ** -100))
+    M = [[A[r][c] for c in range(4)] + [b[r]] for r in range(4)]
+    for k in range(4):
+        for r in range(k + 1, 4):
+            swap = dfabs(M[r][k]).hi > dfabs(M[k][k]).hi
+            for c in range(5):
+                mk, mr = M[k][c], M[r][c]
+                M[k][c] = dfw(swap, mr, mk)
+                M[r][c] = dfw(swap, mk, mr)
+        piv = dfw(M[k][k].eq0(), tiny, M[k][k])
+        for r in range(4):
+            if r == k:
+                continue
+            f = M[r][k] / piv
+            for c in range(5):
+                M[r][c] = M[r][c] - f * M[k][c]
+    out = []
+    for k in range(4):
+        piv = dfw(M[k][k].eq0(), tiny, M[k][k])
+        out.append(M[k][4] / piv)
+    return out
+
+
+def df_householder4(x, mask, pivot: int = 0):
+    """4-element dlarfg on a list of Df scalars: (I - tau v v^T) x = beta e_p.
+
+    ``mask[i]`` (bool, traced ok) activates element i; the pivot element is
+    at static index ``pivot`` and assumed active.  Returns (v, tau, beta)
+    with v[pivot] == 1, masked tail elements scaled, others zero.
+    """
+    xm = [dfw(mask[i], x[i], _zero()) for i in range(4)]
+    a = xm[pivot]
+    m = dfabs(xm[0])
+    for i in range(1, 4):
+        m = dfmax(m, dfabs(xm[i]))
+    msafe = dfw(m.eq0(), _one(), m)
+    t = [xi / msafe for xi in xm]
+    tail = [t[i] for i in range(4) if i != pivot]
+    xnorm = dfsqrt(tail[0] * tail[0] + tail[1] * tail[1]
+                   + tail[2] * tail[2])
+    al = t[pivot]
+    beta = -dfsign(al) * dfhypot2(al, xnorm)
+    degen = xnorm.eq0()
+    tau = dfw(degen, _zero(), df_safe_div(beta - al, beta))
+    scale = df_safe_div(_one(), al - beta)
+    v = []
+    for i in range(4):
+        if i == pivot:
+            v.append(_one())
+        else:
+            v.append(dfw(degen, _zero(), t[i] * scale))
+    beta = dfw(degen, al, beta) * msafe
+    return v, tau, beta
+
+
+def _eye4():
+    return [[_one() if r == c else _zero() for c in range(4)]
+            for r in range(4)]
+
+
+def _mat4_qtdq(Q, D):
+    """Q^T D Q on 4x4 lists of Df."""
+    QD = [[sum((Q[k][r] * D[k][c] for k in range(1, 4)),
+               Q[0][r] * D[0][c]) for c in range(4)] for r in range(4)]
+    return [[sum((QD[r][k] * Q[k][c] for k in range(1, 4)),
+                 QD[r][0] * Q[0][c]) for c in range(4)] for r in range(4)]
+
+
+def df_swap_adjacent(D, p, q, eps_hi=float(2.0 ** -40)):
+    """Adjacent diagonal-block swap on a 4x4 Df block (dlaexc semantics).
+
+    Scalar df32 port of ops/swaps.py:swap_adjacent for Pallas kernels:
+    D is a 4x4 nested list of Df; p, q traced int32 block sizes in {1, 2}.
+    Returns (Q 4x4 Df, Dh 4x4 Df, accept bool).  ``eps_hi`` is the df32
+    acceptance epsilon (the f64 path uses 10*2^-52; df32 swap chains carry
+    ~2^-42 worst-case error, tests/test_df32.py).
+    """
+    import numpy as _np
+
+    both1 = (p == 1) & (q == 1)
+
+    # ---- 1x1 <-> 1x1: exact rotation (always succeeds) ----
+    t11, t12, t22 = D[0][0], D[0][1], D[1][1]
+    cs, sn, _r = df_givens(t12, t22 - t11)
+    Q11 = _eye4()
+    Q11[0][0], Q11[1][0] = cs, sn
+    Q11[0][1], Q11[1][1] = -sn, cs
+    Dh11 = _mat4_qtdq(Q11, D)
+    Dh11[0][0], Dh11[1][1] = t22, t11
+    Dh11[1][0] = _zero()
+
+    # ---- general (p*q > 1): Sylvester + Householder QR of [X; I] ----
+    def at_pp(i, j):
+        """D[p+i][p+j] with traced p in {1, 2}."""
+        return dfw(p == 1, D[1 + i][1 + j], D[2 + i][2 + j])
+
+    def at_0p(i, j):
+        """D[i][p+j]."""
+        return dfw(p == 1, D[i][1 + j], D[i][2 + j])
+
+    T11 = [[dfw((i < p) & (j < p), D[i][j], _zero()) for j in range(2)]
+           for i in range(2)]
+    T22 = [[dfw((i < q) & (j < q), at_pp(i, j), _zero()) for j in range(2)]
+           for i in range(2)]
+    T12 = [[dfw((i < p) & (j < q), at_0p(i, j), _zero()) for j in range(2)]
+           for i in range(2)]
+
+    A = [[_zero() for _ in range(4)] for _ in range(4)]
+    b = [_zero() for _ in range(4)]
+    for k in range(4):
+        i, j = k % 2, k // 2
+        row = [_zero() for _ in range(4)]
+        row[2 * j + 0] = row[2 * j + 0] + T11[i][0]
+        row[2 * j + 1] = row[2 * j + 1] + T11[i][1]
+        row[2 * 0 + i] = row[2 * 0 + i] - T22[0][j]
+        row[2 * 1 + i] = row[2 * 1 + i] - T22[1][j]
+        active = (i < p) & (j < q)
+        for c in range(4):
+            ident = _one() if c == k else _zero()
+            A[k][c] = dfw(active, row[c], ident)
+        b[k] = dfw(active, -T12[i][j], _zero())
+    x = df_solve4(A, b)
+    X = [[x[2 * j + i] for j in range(2)] for i in range(2)]  # X[i][j]
+
+    # M = [X; I_q] packed into first p+q rows of 4x2
+    import numpy as _np2
+    ri = [_np2.int32(r) for r in range(4)]
+    ci = [_np2.int32(c) for c in range(2)]
+    M = [[_zero() for _ in range(2)] for _ in range(4)]
+    for r in range(4):
+        for c in range(2):
+            xval = X[r][c] if r < 2 else _zero()
+            inx = ri[r] < p                       # implies r < 2 (p <= 2)
+            ineye = ((ri[r] - p) == ci[c]) & (ri[r] >= p) & (ci[c] < q)
+            M[r][c] = dfw(inx, xval, _zero()) + dfw(ineye, _one(), _zero())
+
+    d = p + q
+    rmask = [ri[r] < d for r in range(4)]
+    v1, tau1, _b1 = df_householder4([M[r][0] for r in range(4)], rmask, 0)
+    w = [sum((v1[r] * M[r][c] for r in range(1, 4)), v1[0] * M[0][c])
+         for c in range(2)]
+    M1 = [[M[r][c] - tau1 * v1[r] * w[c] for c in range(2)]
+          for r in range(4)]
+    col2 = [_zero()] + [M1[r][1] for r in range(1, 4)]
+    false_ = jnp.bool_(False)
+    mask2 = [false_] + [rmask[r] for r in range(1, 4)]
+    v2, tau2, _b2 = df_householder4(col2, mask2, 1)
+    tau2 = dfw(q > 1, tau2, _zero())
+
+    Q = _eye4()
+    for v, tau in ((v1, tau1), (v2, tau2)):
+        wq = [sum((v[r] * Q[r][c] for r in range(1, 4)), v[0] * Q[0][c])
+              for c in range(4)]
+        Q = [[Q[r][c] - tau * v[r] * wq[c] for c in range(4)]
+             for r in range(4)]
+    Q = [[Q[c][r] for c in range(4)] for r in range(4)]  # transpose: H1 H2
+
+    Dh = _mat4_qtdq(Q, D)
+
+    # acceptance: (2,1) block of the active d x d region negligible
+    dnorm = _zero()
+    err = _zero()
+    for r in range(4):
+        for c in range(4):
+            act = (r < d) & (c < d)
+            dnorm = dfmax(dnorm, dfw(act, dfabs(D[r][c]), _zero()))
+            blk21 = act & (r >= q) & (c < q)
+            err = dfmax(err, dfw(blk21, dfabs(Dh[r][c]), _zero()))
+    accept_g = err.hi <= jnp.maximum(
+        _np.float32(eps_hi) * dnorm.hi, _np.float32(2.0 ** -100))
+    for r in range(4):
+        for c in range(4):
+            blk21 = (r < d) & (c < d) & (r >= q) & (c < q)
+            Dh[r][c] = dfw(blk21, _zero(), Dh[r][c])
+
+    # select the 1x1 or general result
+    accept = jnp.where(both1, jnp.bool_(True), accept_g)
+    Dh = [[dfw(both1, Dh11[r][c], Dh[r][c]) for c in range(4)]
+          for r in range(4)]
+    Q = [[dfw(both1, Q11[r][c], Q[r][c]) for c in range(4)]
+         for r in range(4)]
+
+    # standardize the two new blocks: upper now size q, lower size p
+    def standardize_at(Dh, Q, off_is_0, off_q, active):
+        """Standardize the 2x2 at offset (0 if off_is_0 else off_q)."""
+        def ent(i, j):
+            if off_is_0:
+                return Dh[i][j]
+            return dfw(off_q == 1, Dh[1 + i][1 + j], Dh[2 + i][2 + j])
+
+        aa, bb, cc, dd, cs, sn = df_standardize_2x2(
+            ent(0, 0), ent(0, 1), ent(1, 0), ent(1, 1))
+        cs = dfw(active, cs, _one())
+        sn = dfw(active, sn, _zero())
+
+        # embed G^T at the (possibly traced) offset via per-entry selects
+        def gval(r, c):
+            base = _one() if r == c else _zero()
+            if off_is_0:
+                o = 0
+                if r == o and c == o:
+                    return cs
+                if r == o + 1 and c == o:
+                    return sn
+                if r == o and c == o + 1:
+                    return -sn
+                if r == o + 1 and c == o + 1:
+                    return cs
+                return base
+            v = base
+            for o in (1, 2):
+                here = off_q == o
+                if r == o and c == o:
+                    v = dfw(here, cs, v)
+                elif r == o + 1 and c == o:
+                    v = dfw(here, sn, v)
+                elif r == o and c == o + 1:
+                    v = dfw(here, -sn, v)
+                elif r == o + 1 and c == o + 1:
+                    v = dfw(here, cs, v)
+            return v
+
+        G = [[gval(r, c) for c in range(4)] for r in range(4)]
+        Dh2 = _mat4_qtdq(G, Dh)
+        new = [[aa, bb], [cc, dd]]
+
+        def planted(r, c):
+            v = Dh2[r][c]
+            if off_is_0:
+                if r < 2 and c < 2:
+                    return dfw(active, new[r][c], v)
+                return v
+            for o in (1, 2):
+                if o <= r <= o + 1 and o <= c <= o + 1:
+                    v = dfw(active & (off_q == o), new[r - o][c - o], v)
+            return v
+
+        Dh2 = [[planted(r, c) for c in range(4)] for r in range(4)]
+        Qn = [[sum((Q[r][k] * G[k][c] for k in range(1, 4)),
+                   Q[r][0] * G[0][c]) for c in range(4)] for r in range(4)]
+        return Dh2, Qn
+
+    Dh, Q = standardize_at(Dh, Q, True, None, (q == 2) & accept)
+    Dh, Q = standardize_at(Dh, Q, False, q, (p == 2) & accept)
+
+    # rejected swap: leave everything untouched
+    Dh = [[dfw(accept, Dh[r][c], D[r][c]) for c in range(4)]
+          for r in range(4)]
+    eye = _eye4()
+    Q = [[dfw(accept, Q[r][c], eye[r][c]) for c in range(4)]
+         for r in range(4)]
+    return Q, Dh, accept
+
+
 def df_first_column_shifted(h, sr1, si1, sr2, si2, use3):
     """dlaqr1: first column of (H - s1)(H - s2); h is a 3x3 of Df scalars.
 

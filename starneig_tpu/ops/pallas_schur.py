@@ -745,6 +745,261 @@ def train_hops_pallas(Wnds, shifts, l_rels, ihi_rels, s0s,
 
 
 # ---------------------------------------------------------------------------
+# AED spike-deflation kernel: the bottom-up deflation tests + adjacent
+# block moves of ops/schur.py:_aed_deflate (reference deflate phase,
+# schur/core.c:783-1267) as ONE Pallas state machine.  At WA=322 the XLA
+# bounded-while version costs ~1 s/round (~14k move iterations x ~70 us
+# of serial fused-loop steps) — the entire reason round 4 shelved the
+# big-window AED; in-kernel a move is ~2-3 us (round-5 measurement).
+#
+# Structure mirrors the Francis kernel: T maintained fully in VMEM (full
+# column passes — band-limiting is unsound, see col_pass note), the move
+# transform accumulated TRANSPOSED, V's row 0 (all the spike tests read)
+# carried in scratch; the wrapper Newton-corrects Q_m, recomputes the
+# strict upper triangle as Q_m^T T Q_m in f64, and right-multiplies the
+# full V outside.
+# ---------------------------------------------------------------------------
+
+
+def _deflate_kernel(iscal, fscal, Thi, Tlo, Vhi, Vlo,
+                    Tohi, Tolo, Qthi, Qtlo, stat, v0hi, v0lo, *, W: int,
+                    guard: bool = False):
+    import contextlib
+    from starneig_tpu.ops import df32 as _df32
+    ctx = contextlib.nullcontext() if guard else _df32.no_guard()
+    with ctx:
+        _deflate_body(iscal, fscal, Thi, Tlo, Vhi, Vlo,
+                      Tohi, Tolo, Qthi, Qtlo, stat, v0hi, v0lo, W=W)
+
+
+def _deflate_body(iscal, fscal, Thi, Tlo, Vhi, Vlo,
+                  Tohi, Tolo, Qthi, Qtlo, stat, v0hi, v0lo, *, W: int):
+    from starneig_tpu.ops.df_prim import df_swap_adjacent
+
+    Tohi[:] = Thi[:]
+    Tolo[:] = Tlo[:]
+    rows2 = lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    cols2 = lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    Qthi[:] = (rows2 == cols2).astype(jnp.float32)
+    Qtlo[:] = jnp.zeros((W, W), jnp.float32)
+    v0hi[:] = Vhi[:]
+    v0lo[:] = Vlo[:]
+
+    w = iscal[0]
+    maxsteps = iscal[1]
+    s = Df(fscal[0], fscal[1])
+    th = fscal[2]
+    lane = lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+    def tband(r0, rows):
+        return _band(Tohi, Tolo, r0, rows)
+
+    def v0pick(c):
+        return _at(_lane_pick(Df(v0hi[:], v0lo[:]), lane, c), 0)
+
+    def col_pass(last_row, update_fn):
+        def body(c):
+            base = pl.multiple_of(c * _CH, _CH)
+            Bb = Df(Tohi[pl.ds(base, _CH), :], Tolo[pl.ds(base, _CH), :])
+            Bn = update_fn(Bb)
+            Tohi[pl.ds(base, _CH), :] = Bn.hi
+            Tolo[pl.ds(base, _CH), :] = Bn.lo
+            return c + np.int32(1)
+
+        lax.while_loop(lambda c: c * _CH <= last_row, body, jnp.int32(0))
+
+    def loop_cond(st):
+        kbot, ilst, src, fail, steps = st
+        return (kbot > ilst) & (fail == 0) & (steps < maxsteps)
+
+    def loop_body(st):
+        kbot, ilst, src, fail, steps = st
+        is_test = src < np.int32(0)
+
+        # ---------------- TEST: spike negligibility at the bottom --------
+        e = jnp.maximum(kbot - 1, 1)
+        B2 = tband(e - 1, 2)
+        cm1 = _lane_pick(B2, lane, jnp.maximum(e - 1, 0))
+        coupled = dfw(kbot - 1 >= 1, _at(cm1, 1), Df(0.0))
+        sz = jnp.where(coupled.eq0(), np.int32(1), np.int32(2))
+        start = kbot - sz
+        sp0 = s * v0pick(jnp.maximum(start, 0))
+        sp1 = s * v0pick(jnp.maximum(kbot - 1, 0))
+        d_s = _at(_lane_pick(tband(jnp.maximum(start, 0), 1), lane,
+                             jnp.maximum(start, 0)), 0)
+        d_e = _at(_lane_pick(tband(jnp.maximum(kbot - 1, 0), 1), lane,
+                             jnp.maximum(kbot - 1, 0)), 0)
+        two = sz == 2
+        foot = jnp.maximum(dfabs(sp0).hi,
+                           jnp.where(two, dfabs(sp1).hi, _F0))
+        tstv = dfabs(d_s).hi + jnp.where(two, dfabs(d_e).hi, _F0)
+        deflatable = foot <= jnp.maximum(np.float32(ULP) * tstv, th)
+
+        t_kbot = jnp.where(deflatable, start, kbot)
+        t_src = jnp.where(deflatable, np.int32(-1), start)
+        at_front = (~deflatable) & (start == ilst)
+        t_ilst = jnp.where(at_front, ilst + sz, ilst)
+        t_src = jnp.where(at_front, np.int32(-1), t_src)
+
+        # ---------------- MOVE: swap the block at src one position up ----
+        srcc = jnp.maximum(src, 2)          # memory-safe index clamp only
+        cm2 = _lane_pick(tband(srcc - 2, 2), lane,
+                         jnp.maximum(srcc - 2, 0))
+        coupled2 = dfw(src - 1 >= 1, _at(cm2, 1), Df(0.0))
+        pm = jnp.where(coupled2.eq0(), np.int32(1), np.int32(2))
+        # spelled-out clip: jnp.clip's weak-int min recurses in x64 traces
+        a = jnp.minimum(jnp.maximum(src - pm, np.int32(0)),
+                        np.int32(W - 4))
+        srcs = jnp.minimum(jnp.maximum(src, np.int32(0)), np.int32(W - 2))
+        below = dfw(src + 1 < w,
+                    _at(_lane_pick(tband(srcs + 1, 1), lane, srcs), 0),
+                    Df(0.0))
+        qm = jnp.where(below.eq0(), np.int32(1), np.int32(2))
+
+        B4 = tband(a, 4)
+        cols = [_lane_pick(B4, lane, a + np.int32(j)) for j in range(4)]
+        D = [[_at(cols[c], r) for c in range(4)] for r in range(4)]
+        Q4, Dh, accept = df_swap_adjacent(D, pm, qm)
+
+        @pl.when(~is_test)
+        def _():
+            # rows [a, a+4) <- Q4^T @ rows
+            rv = [_row(B4, k) for k in range(4)]
+            for r in range(4):
+                nr = (Q4[0][r] * rv[0] + Q4[1][r] * rv[1]
+                      + Q4[2][r] * rv[2] + Q4[3][r] * rv[3])
+                _write_row(Tohi, Tolo, a + np.int32(r), nr)
+
+            # cols [a, a+4) <- cols @ Q4 over rows [0, a+4)
+            masks = [lane == a + np.int32(j) for j in range(4)]
+
+            def colup(Bb):
+                bj = [_lane_pick(Bb, lane, a + np.int32(j))
+                      for j in range(4)]
+                out = Bb
+                for j in range(4):
+                    nj = (bj[0] * Q4[0][j] + bj[1] * Q4[1][j]
+                          + bj[2] * Q4[2][j] + bj[3] * Q4[3][j])
+                    out = Df(jnp.where(masks[j], nj.hi, out.hi),
+                             jnp.where(masks[j], nj.lo, out.lo))
+                return out
+
+            col_pass(a + np.int32(3), colup)
+
+            # plant the swapped-and-standardized 4x4 block exactly
+            B4b = tband(a, 4)
+            for r in range(4):
+                row = _row(B4b, r)
+                for j in range(4):
+                    row = Df(jnp.where(masks[j], Dh[r][j].hi, row.hi),
+                             jnp.where(masks[j], Dh[r][j].lo, row.lo))
+                _write_row(Tohi, Tolo, a + np.int32(r), row)
+
+            # V row 0: cols [a, a+4) <- v @ Q4
+            V0 = Df(v0hi[:], v0lo[:])
+            vj = [_at(_lane_pick(V0, lane, a + np.int32(j)), 0)
+                  for j in range(4)]
+            out = V0
+            for j in range(4):
+                nv = (vj[0] * Q4[0][j] + vj[1] * Q4[1][j]
+                      + vj[2] * Q4[2][j] + vj[3] * Q4[3][j])
+                out = Df(jnp.where(masks[j], nv.hi, out.hi),
+                         jnp.where(masks[j], nv.lo, out.lo))
+            v0hi[:] = out.hi
+            v0lo[:] = out.lo
+
+            # Qm columns [a, a+4) (transposed: rows of Qt) <- Q4^T @ rows
+            Qb = _band(Qthi, Qtlo, a, 4)
+            qv = [_row(Qb, k) for k in range(4)]
+            for r in range(4):
+                nq = (Q4[0][r] * qv[0] + Q4[1][r] * qv[1]
+                      + Q4[2][r] * qv[2] + Q4[3][r] * qv[3])
+                _write_row(Qthi, Qtlo, a + np.int32(r), nq)
+
+        m_src = jnp.where(accept, a, np.int32(-1))
+        arrived = accept & (m_src == ilst)
+        m_ilst = jnp.where(arrived, ilst + qm, ilst)
+        m_src = jnp.where(arrived, np.int32(-1), m_src)
+        m_fail = jnp.where(accept, fail, np.int32(1))
+
+        new_kbot = jnp.where(is_test, t_kbot, kbot)
+        new_ilst = jnp.where(is_test, t_ilst, m_ilst)
+        new_src = jnp.where(is_test, t_src, m_src)
+        new_fail = jnp.where(is_test, fail, m_fail)
+        return (new_kbot.astype(jnp.int32), new_ilst.astype(jnp.int32),
+                new_src.astype(jnp.int32), new_fail.astype(jnp.int32),
+                steps + np.int32(1))
+
+    z32 = jnp.int32(0)
+    st = (w.astype(jnp.int32), z32, np.int32(-1) + z32, z32, z32)
+    kbot, ilst, src, fail, steps = lax.while_loop(loop_cond, loop_body, st)
+    stat[0] = kbot
+    stat[1] = fail
+
+
+@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+def _deflate_call(iscal, fscal, Thi, Tlo, Vhi, Vlo, W: int,
+                  interpret: bool = False):
+    out_shape = (
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((W, W), jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.int32),
+    )
+    return pl.pallas_call(
+        functools.partial(_deflate_kernel, W=W, guard=interpret),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+                        + [pl.BlockSpec(memory_space=pltpu.SMEM)]),
+        scratch_shapes=[pltpu.VMEM((1, W), jnp.float32),
+                        pltpu.VMEM((1, W), jnp.float32)],
+        interpret=interpret,
+    )(iscal, fscal, Thi, Tlo, Vhi, Vlo)
+
+
+def aed_deflate_pallas(Tw, Vw, s, w, thresh, interpret: bool = False):
+    """Drop-in for ops/schur.py:_aed_deflate on the Pallas path.
+
+    Tw (WA, WA) Schur form of the AED window, Vw the accumulated window
+    transform, s the spike scalar, w the active size, thresh the absolute
+    deflation floor.  Returns (Tw, Vw, kbot, fail) with the same
+    contract: kbot = rows remaining undeflated.
+    """
+    Tw = jnp.asarray(Tw)
+    Vw = jnp.asarray(Vw)
+    WA = Tw.shape[0]
+    dtype = Tw.dtype
+    W = 128 if WA + 4 <= 128 else (256 if WA + 4 <= 256 else 384)
+    if WA + 4 > W:
+        raise ValueError(f"aed_deflate_pallas window {WA} > {W - 4}")
+    Tp = jnp.zeros((W, W), dtype).at[:WA, :WA].set(Tw)
+    V0 = jnp.zeros((1, W), dtype).at[0, :WA].set(Vw[0, :])
+    Thi, Tlo = df_from_f64(Tp)
+    Vhi, Vlo = df_from_f64(V0)
+    iscal = jnp.stack([jnp.asarray(w),
+                       jnp.asarray(4 * WA * WA)]).astype(jnp.int32)
+    sh, sl = df_from_f64(jnp.asarray(s, dtype).reshape(1))
+    thf = jnp.asarray(thresh, dtype).astype(jnp.float32).reshape(1)
+    fscal = jnp.concatenate([sh, sl, thf])
+    Tohi, Tolo, Qthi, Qtlo, stat = _deflate_call(
+        iscal, fscal, Thi, Tlo, Vhi, Vlo, W=W, interpret=interpret)
+    Tk = (Tohi.astype(dtype) + Tolo.astype(dtype))[:WA, :WA]
+    Qm = jnp.swapaxes(Qthi.astype(dtype) + Qtlo.astype(dtype),
+                      0, 1)[:WA, :WA]
+    # Newton re-orthonormalization + exact-similarity strict-upper rebuild
+    Qc = Qm @ (1.5 * jnp.eye(WA, dtype=dtype) - 0.5 * (Qm.T @ Qm))
+    Trec = Qc.T @ Tw @ Qc
+    r = jnp.arange(WA)
+    dr = r[None, :] - r[:, None]
+    Tm = jnp.where(dr >= 2, Trec, jnp.where(jnp.abs(dr) <= 1, Tk, 0.0))
+    return Tm, Vw @ Qc, stat[0], stat[1] != 0
+
+
+# ---------------------------------------------------------------------------
 # AED recondense kernel: spike reflector + unblocked Hessenberg re-reduction
 # of the undeflated window (ops/schur.py:_aed_recondense; the reference's
 # post-deflation re-reduction inside perform_*_aed, core.c:1365-1551).

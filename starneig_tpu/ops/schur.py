@@ -709,7 +709,17 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
         Tw, Vw, sinfo = small_schur(win, eyeW, w, thresh)
         sfail = sinfo != 0
 
-        Tw, Vw, kbot, _dfail = _aed_deflate(Tw, Vw, s_spike, w, thresh)
+        import os as _osd
+        if _hops_pallas_ok(dtype, 128) and WA + 4 <= 384 \
+                and not _osd.environ.get("STARNEIG_NO_PALLAS_DEFLATE"):
+            # spike tests + block moves as one Pallas state machine: the
+            # XLA bounded-while costs ~70 us per move step, ~1 s/round at
+            # WA=322 — the round-4 blocker for big-window AED
+            from starneig_tpu.ops.pallas_schur import aed_deflate_pallas
+            Tw, Vw, kbot, _dfail = aed_deflate_pallas(
+                Tw, Vw, s_spike, w, thresh)
+        else:
+            Tw, Vw, kbot, _dfail = _aed_deflate(Tw, Vw, s_spike, w, thresh)
         nd = w - kbot
 
         er_w, ei_w = extract_eigenvalues(Tw)

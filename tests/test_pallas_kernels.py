@@ -97,6 +97,37 @@ def test_recondense_kernel_backward_residual():
     assert np.abs(np.tril(To[:kbot, :kbot], -2)).max() == 0.0
 
 
+@pytest.mark.skipif(not ON_TPU, reason="deflate kernel's swap state machine "
+                    "takes >5 min to compile through the interpret path on "
+                    "XLA CPU; validated on hardware")
+def test_deflate_kernel_matches_xla():
+    from starneig_tpu.ops.schur import _aed_deflate
+    from starneig_tpu.ops.pallas_schur import aed_deflate_pallas
+
+    w = 40
+    rng = np.random.default_rng(5)
+    T = np.triu(rng.standard_normal((w, w)))
+    for p in (6, 14, 30):
+        T[p + 1, p] = -abs(rng.standard_normal())
+        T[p, p + 1] = abs(rng.standard_normal())
+    V, _ = np.linalg.qr(np.eye(w) + 0.05 * rng.standard_normal((w, w)))
+    s, th = 0.8, 1e-13
+    Tx, Vx, kx, fx = _aed_deflate(jnp.asarray(T), jnp.asarray(V), s, w, th)
+    Tp, Vp, kp, fp = aed_deflate_pallas(jnp.asarray(T), jnp.asarray(V), s,
+                                        w, th)
+    assert int(kx) == int(kp)
+    Tpn, Vpn = np.asarray(Tp), np.asarray(Vp)
+    U = V.T @ Vpn
+    res = np.linalg.norm(U.T @ T @ U - Tpn) / np.linalg.norm(T)
+    orth = np.linalg.norm(U.T @ U - np.eye(w))
+    assert res < TOL and orth < TOL, (res, orth)
+    # deflated bottom blocks carry the same eigenvalues
+    kx = int(kx)
+    ex = np.sort_complex(np.linalg.eigvals(np.asarray(Tx)[kx:, kx:]))
+    ep = np.sort_complex(np.linalg.eigvals(Tpn[kx:, kx:]))
+    assert np.allclose(ex, ep, atol=1e-9)
+
+
 def test_matvec_kernel():
     from starneig_tpu.ops.pallas_hess import split_panel_matrix, matvec_df
 
