@@ -30,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+# BENCH_PLATFORM=cpu forces the CPU backend (the axon TPU plugin registers
+# itself regardless of JAX_PLATFORMS, so an explicit config override is
+# needed for the CPU-oracle timing runs)
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 jax.config.update("jax_enable_x64", True)
 
 from starneig_tpu.node import enable_compilation_cache

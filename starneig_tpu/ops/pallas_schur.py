@@ -59,6 +59,10 @@ ITMAX_PER_BLOCK = 30    # exceptional-shift cadence 10, hard cap (LAPACK)
 # solve) — active blocks are short (~12 rows typical), so most col_passes
 # span 1-2 chunks and bigger chunks only waste VPU work.  Overridable.
 _CH = int(_os.environ.get("STARNEIG_PALLAS_CH", "8"))
+# chunk height for the Francis sweep's FULL-HEIGHT right update (rows
+# [0, k+3] each step — the kernel's dominant volume); wider chunks cut the
+# while-loop iteration count on the long pass
+_CHR = int(_os.environ.get("STARNEIG_PALLAS_CHR", "32"))
 
 # state-machine modes (flat while_loop: one scan OR one chase step/iter)
 # np scalars: Python ints inside jnp.where recurse during weak-type
@@ -125,25 +129,27 @@ def _df_shifts(h11, h12, h21, h22, habs, its):
 
 
 def _francis_kernel(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
-                    Shi, Slo, Zohi, Zolo, info, *, W: int,
+                    Shi, Slo, Zohi, Zolo, info, lf_ref, sh_ref, *, W: int,
                     guard: bool = False):
     """The Francis state machine.  One flat while_loop; each iteration is
     a deflation SCAN (mode 0) or one bulge-chase step (modes 1/2).
 
     Buffers: S (the matrix, hi/lo pair) and Zt (the TRANSPOSED accumulation
     matrix: Z column updates become row-band updates, the cheap Mosaic
-    orientation; the wrapper transposes at the boundary).
+    orientation; the wrapper transposes at the boundary).  lf_ref/sh_ref
+    are SMEM scratch carrying the scan's l_found and shift pair across the
+    gated scan block (see loop_body).
     """
     import contextlib
     from starneig_tpu.ops import df32 as _df32
     ctx = contextlib.nullcontext() if guard else _df32.no_guard()
     with ctx:
         _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
-                      Shi, Slo, Zohi, Zolo, info, W=W)
+                      Shi, Slo, Zohi, Zolo, info, lf_ref, sh_ref, W=W)
 
 
 def _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
-                  Shi, Slo, Zohi, Zolo, info, *, W: int):
+                  Shi, Slo, Zohi, Zolo, info, lf_ref, sh_ref, *, W: int):
     Shi[:] = Hhi[:]
     Slo[:] = Hlo[:]
     Zohi[:] = Zthi[:]
@@ -153,6 +159,9 @@ def _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
     ilo = iscal[1]
     maxiter = iscal[2]
     th = fscal[0]
+    lf_ref[0] = ilo
+    for _j in range(8):
+        sh_ref[_j] = jnp.float32(0.0)
 
     lane = lax.broadcasted_iota(jnp.int32, (1, W), 1)
     rows2 = lax.broadcasted_iota(jnp.int32, (W, W), 0)
@@ -160,32 +169,31 @@ def _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
     diag_mask = (rows2 == cols2).astype(jnp.float32)
     sub_mask = (rows2 == cols2 + 1).astype(jnp.float32)
 
-    def col_pass(last_row, update_fn, first_row=None):
+    def col_pass(last_row, update_fn, first_row=None, ch: int = _CH):
         """Row-chunked pass over rows [first_row, last_row] (chunk-aligned;
         default first_row=0): update_fn(band)->band.
 
-        Band-limiting (round 5): the sweep's right update only needs rows
-        [k, k+3] kept current — every later in-kernel read (gathers at rows
-        >= k, diag/subdiag scans, trailing 2x2s) sees rows r >= j of each
-        past step j, and the strictly-upper rows above the band are never
-        read for decisions.  The final S is recomputed OUTSIDE the kernel
-        as Q^T H Q in f64 (see :func:`small_schur_pallas`), so deferred
-        upper-triangle content never needs to exist in-kernel.  This makes
-        the per-step cost O(W) instead of O(k W) — the difference between
-        0.4 us and 7.5 us per step at W=384 (measured round 5)."""
+        ``first_row`` band-limiting is sound ONLY for single-pass uses
+        whose upper rows are never re-read before an f64 rebuild (the 2x2
+        rot_cols below; deflate/hop kernels) — NOT for the sweep's right
+        update, where full-width left updates walk strictly-upper content
+        ~2 rows down per sweep into future decisions (measured round 5:
+        the residual degrades smoothly with any finite margin)."""
+        chn = np.int32(ch)
+
         def body(c):
-            # chunk starts are _CH-aligned by construction; the hint lets
+            # chunk starts are ch-aligned by construction; the hint lets
             # Mosaic prove it and emit one multi-row load at any W
-            base = pl.multiple_of(c * _CH, _CH)
-            Bb = Df(Shi[pl.ds(base, _CH), :], Slo[pl.ds(base, _CH), :])
+            base = pl.multiple_of(c * chn, ch)
+            Bb = Df(Shi[pl.ds(base, ch), :], Slo[pl.ds(base, ch), :])
             Bn = update_fn(Bb)
-            Shi[pl.ds(base, _CH), :] = Bn.hi
-            Slo[pl.ds(base, _CH), :] = Bn.lo
+            Shi[pl.ds(base, ch), :] = Bn.hi
+            Slo[pl.ds(base, ch), :] = Bn.lo
             return c + np.int32(1)
 
         c0 = jnp.int32(0) if first_row is None else \
-            (jnp.maximum(first_row, 0) // np.int32(_CH)).astype(jnp.int32)
-        lax.while_loop(lambda c: c * _CH <= last_row, body, c0)
+            (jnp.maximum(first_row, 0) // chn).astype(jnp.int32)
+        lax.while_loop(lambda c: c * chn <= last_row, body, c0)
 
     def loop_cond(st):
         return (st[1] >= ilo) & (st[5] == 0) & (st[4] < maxiter)
@@ -200,83 +208,108 @@ def _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
         sr2 = Df(s2rh, s2rl)
         si2 = Df(s2ih, s2il)
 
-        # ---------------- SCAN: deflation search (hi parts suffice) -------
-        Hh = Shi[:]
-        dh = jnp.sum(Hh * diag_mask, axis=0, keepdims=True)      # d[c]=H[c,c]
-        subh = jnp.sum(Hh * sub_mask, axis=0, keepdims=True)     # H[c+1,c]
-        dnext = pltpu.roll(dh, np.int32(W - 1), 1)               # d[c+1]
-        tst = jnp.abs(dh) + jnp.abs(dnext)
-        neg = jnp.abs(subh) <= jnp.maximum(ULP * tst, th)
-        cand = neg & (lane + 1 > ilo) & (lane + 1 <= i)
-        l_found = jnp.max(jnp.where(cand, lane + 1, ilo)).astype(jnp.int32)
+        # ---------------- SCAN (gated: chase steps skip it all) -----------
+        # The whole deflation search, shift computation, and 2x2
+        # standardize run only in scan mode; results cross into the
+        # un-gated carry logic through SMEM scratch (lf_ref, sh_ref).
+        # Chase iterations dominate the solve ~30:1, and the two (W, W)
+        # masked reductions alone cost ~1 us/step at W=384 — gating them
+        # is a large share of the round-5 per-step cut.
+        @pl.when(is_scan)
+        def _():
+            Hh = Shi[:]
+            dh = jnp.sum(Hh * diag_mask, axis=0, keepdims=True)  # H[c,c]
+            subh = jnp.sum(Hh * sub_mask, axis=0, keepdims=True)  # H[c+1,c]
+            dnext = pltpu.roll(dh, np.int32(W - 1), 1)           # d[c+1]
+            tst = jnp.abs(dh) + jnp.abs(dnext)
+            neg = jnp.abs(subh) <= jnp.maximum(ULP * tst, th)
+            cand = neg & (lane + 1 > ilo) & (lane + 1 <= i)
+            lf = jnp.max(jnp.where(cand, lane + 1, ilo)).astype(jnp.int32)
+            lf_ref[0] = lf
 
+            @pl.when(lf > ilo)
+            def _():
+                r = _band(Shi, Slo, lf, 1)
+                mz = lane == (lf - 1)
+                _write_row(Shi, Slo, lf,
+                           Df(jnp.where(mz, _F0, r.hi),
+                              jnp.where(mz, _F0, r.lo)))
+
+            # ---- scalar reads for shifts / 2x2 standardize (rows i-1, i)
+            isafe = jnp.maximum(i, 1)
+            T2 = _band(Shi, Slo, isafe - 1, 2)
+            cm2 = _lane_pick(T2, lane, jnp.maximum(isafe - 2, 0))
+            cm1 = _lane_pick(T2, lane, isafe - 1)
+            cc0 = _lane_pick(T2, lane, isafe)
+            h11, h21 = _at(cm1, 0), _at(cm1, 1)
+            h12, h22 = _at(cc0, 0), _at(cc0, 1)
+            him2 = _at(cm2, 0)
+
+            habs = dfabs(h21) + dfabs(him2)
+            nsr1, nsi1, nsr2, nsi2 = _df_shifts(h11, h12, h21, h22, habs,
+                                                its)
+            sh_ref[0] = nsr1.hi
+            sh_ref[1] = nsr1.lo
+            sh_ref[2] = nsi1.hi
+            sh_ref[3] = nsi1.lo
+            sh_ref[4] = nsr2.hi
+            sh_ref[5] = nsr2.lo
+            sh_ref[6] = nsi2.hi
+            sh_ref[7] = nsi2.lo
+
+            # ------------ 2x2 deflation (standardize, rotate) ------------
+            @pl.when((lf == i - 1) & (i >= 1))
+            def _():
+                aa, bb, cc2, dd, cs, sn = df_standardize_2x2(
+                    h11, h12, h21, h22)
+                # rows first (full width), then columns (they see the new
+                # rows), then plant the exact standardized block — the
+                # ordering of ops/small_schur.py:_deflate_block
+                r0, r1 = _row(T2, 0), _row(T2, 1)
+                _write_row(Shi, Slo, isafe - 1, cs * r0 + sn * r1)
+                _write_row(Shi, Slo, isafe, cs * r1 - sn * r0)
+
+                m0 = lane == isafe - 1
+                m1 = lane == isafe
+
+                def rot_cols(Bb):
+                    b0 = _lane_pick(Bb, lane, isafe - 1)
+                    b1 = _lane_pick(Bb, lane, isafe)
+                    n0 = cs * b0 + sn * b1
+                    n1 = cs * b1 - sn * b0
+                    return Df(
+                        jnp.where(m0, n0.hi, jnp.where(m1, n1.hi, Bb.hi)),
+                        jnp.where(m0, n0.lo, jnp.where(m1, n1.lo, Bb.lo)))
+
+                # band-limit IS sound here (single pass: cols i-1, i leave
+                # the active block and are never re-read in-kernel; the
+                # wrapper rebuilds rows < i-3 of them in f64)
+                col_pass(i, rot_cols)
+
+                B2 = _band(Shi, Slo, isafe - 1, 2)
+                top = _row(B2, 0)
+                bot = _row(B2, 1)
+                top_h = jnp.where(m0, aa.hi, jnp.where(m1, bb.hi, top.hi))
+                top_l = jnp.where(m0, aa.lo, jnp.where(m1, bb.lo, top.lo))
+                bot_h = jnp.where(m0, cc2.hi, jnp.where(m1, dd.hi, bot.hi))
+                bot_l = jnp.where(m0, cc2.lo, jnp.where(m1, dd.lo, bot.lo))
+                _write_row(Shi, Slo, isafe - 1, Df(top_h, top_l))
+                _write_row(Shi, Slo, isafe, Df(bot_h, bot_l))
+
+                Zb = _band(Zohi, Zolo, isafe - 1, 2)
+                z0, z1 = _row(Zb, 0), _row(Zb, 1)
+                _write_row(Zohi, Zolo, isafe - 1, cs * z0 + sn * z1)
+                _write_row(Zohi, Zolo, isafe, cs * z1 - sn * z0)
+
+        l_found = lf_ref[0]
         defl1 = is_scan & (l_found == i)
         defl2 = is_scan & (l_found == i - 1) & (i >= 1)
         start_sweep = is_scan & (l_found < i - 1)
 
-        @pl.when(is_scan & (l_found > ilo))
-        def _():
-            r = _band(Shi, Slo, l_found, 1)
-            mz = lane == (l_found - 1)
-            _write_row(Shi, Slo, l_found,
-                       Df(jnp.where(mz, _F0, r.hi), jnp.where(mz, _F0, r.lo)))
-
-        # ---- scalar reads for shifts / 2x2 standardize (rows i-1, i) ----
-        isafe = jnp.maximum(i, 1)
-        T2 = _band(Shi, Slo, isafe - 1, 2)
-        cm2 = _lane_pick(T2, lane, jnp.maximum(isafe - 2, 0))
-        cm1 = _lane_pick(T2, lane, isafe - 1)
-        cc0 = _lane_pick(T2, lane, isafe)
-        h11, h21 = _at(cm1, 0), _at(cm1, 1)
-        h12, h22 = _at(cc0, 0), _at(cc0, 1)
-        him2 = _at(cm2, 0)
-
-        # ---------------- 2x2 deflation (standardize, rotate) ------------
-        @pl.when(defl2)
-        def _():
-            aa, bb, cc2, dd, cs, sn = df_standardize_2x2(h11, h12, h21, h22)
-            # rows first (full width), then columns (they see the new rows),
-            # then plant the exact standardized block — the ordering of
-            # ops/small_schur.py:_deflate_block
-            r0, r1 = _row(T2, 0), _row(T2, 1)
-            _write_row(Shi, Slo, isafe - 1, cs * r0 + sn * r1)
-            _write_row(Shi, Slo, isafe, cs * r1 - sn * r0)
-
-            m0 = lane == isafe - 1
-            m1 = lane == isafe
-
-            def rot_cols(Bb):
-                b0 = _lane_pick(Bb, lane, isafe - 1)
-                b1 = _lane_pick(Bb, lane, isafe)
-                n0 = cs * b0 + sn * b1
-                n1 = cs * b1 - sn * b0
-                return Df(jnp.where(m0, n0.hi, jnp.where(m1, n1.hi, Bb.hi)),
-                          jnp.where(m0, n0.lo, jnp.where(m1, n1.lo, Bb.lo)))
-
-            col_pass(i, rot_cols)
-
-            B2 = _band(Shi, Slo, isafe - 1, 2)
-            top = _row(B2, 0)
-            bot = _row(B2, 1)
-            top_h = jnp.where(m0, aa.hi, jnp.where(m1, bb.hi, top.hi))
-            top_l = jnp.where(m0, aa.lo, jnp.where(m1, bb.lo, top.lo))
-            bot_h = jnp.where(m0, cc2.hi, jnp.where(m1, dd.hi, bot.hi))
-            bot_l = jnp.where(m0, cc2.lo, jnp.where(m1, dd.lo, bot.lo))
-            _write_row(Shi, Slo, isafe - 1, Df(top_h, top_l))
-            _write_row(Shi, Slo, isafe, Df(bot_h, bot_l))
-
-            Zb = _band(Zohi, Zolo, isafe - 1, 2)
-            z0, z1 = _row(Zb, 0), _row(Zb, 1)
-            _write_row(Zohi, Zolo, isafe - 1, cs * z0 + sn * z1)
-            _write_row(Zohi, Zolo, isafe, cs * z1 - sn * z0)
-
-        # ---------------- shifts for a starting sweep ---------------------
-        habs = dfabs(h21) + dfabs(him2)
-        nsr1, nsi1, nsr2, nsi2 = _df_shifts(h11, h12, h21, h22, habs, its)
-        sr1 = dfw(start_sweep, nsr1, sr1)
-        si1 = dfw(start_sweep, nsi1, si1)
-        sr2 = dfw(start_sweep, nsr2, sr2)
-        si2 = dfw(start_sweep, nsi2, si2)
+        sr1 = dfw(start_sweep, Df(sh_ref[0], sh_ref[1]), sr1)
+        si1 = dfw(start_sweep, Df(sh_ref[2], sh_ref[3]), si1)
+        sr2 = dfw(start_sweep, Df(sh_ref[4], sh_ref[5]), sr2)
+        si2 = dfw(start_sweep, Df(sh_ref[6], sh_ref[7]), si2)
 
         # ---------------- SWEEP: one chase step at column k ---------------
         @pl.when(in_sweep)
@@ -331,12 +364,10 @@ def _francis_body(iscal, fscal, Hhi, Hlo, Zthi, Ztlo,
                 wch = b0 + v1 * b1 + v2 * b2
                 return Bb - (tau * wch) * vlane
 
-            # NOTE round 5: band-limiting this pass (rows [k-2, k+3]) is
-            # unsound — left updates mix a row full-width, so stale
-            # strictly-upper entries walk down ~2 rows per sweep and reach
-            # the decision band after a few sweeps (measured divergence at
-            # n=16).  Rows above the bulge must stay current.
-            col_pass(k + 3, right_update)
+            # Full-height pass — band-limiting here is UNSOUND (see
+            # col_pass docstring); _CHR trades loop iterations for chunk
+            # width on the long pass
+            col_pass(k + 3, right_update, ch=_CHR)
 
             # Zt rows k..k+2 (Z columns k..k+2)
             Zb = _band(Zohi, Zolo, k, 3)
@@ -403,6 +434,8 @@ def _francis_call(iscal, fscal, Hhi, Hlo, Zthi, Ztlo, W: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((8,), jnp.float32)],
         interpret=interpret,
     )(iscal, fscal, Hhi, Hlo, Zthi, Ztlo)
 
@@ -797,7 +830,7 @@ def _deflate_body(iscal, fscal, Thi, Tlo, Vhi, Vlo,
     def v0pick(c):
         return _at(_lane_pick(Df(v0hi[:], v0lo[:]), lane, c), 0)
 
-    def col_pass(last_row, update_fn):
+    def col_pass(last_row, update_fn, first_row=None):
         def body(c):
             base = pl.multiple_of(c * _CH, _CH)
             Bb = Df(Tohi[pl.ds(base, _CH), :], Tolo[pl.ds(base, _CH), :])
@@ -806,7 +839,9 @@ def _deflate_body(iscal, fscal, Thi, Tlo, Vhi, Vlo,
             Tolo[pl.ds(base, _CH), :] = Bn.lo
             return c + np.int32(1)
 
-        lax.while_loop(lambda c: c * _CH <= last_row, body, jnp.int32(0))
+        c0 = jnp.int32(0) if first_row is None else \
+            (jnp.maximum(first_row, 0) // np.int32(_CH)).astype(jnp.int32)
+        lax.while_loop(lambda c: c * _CH <= last_row, body, c0)
 
     def loop_cond(st):
         kbot, ilst, src, fail, steps = st
@@ -1188,7 +1223,7 @@ def aed_recondense_pallas(Tw, Vw, s, kbot, interpret: bool = False):
     Vw = jnp.asarray(Vw)
     WA = Tw.shape[0]
     dtype = Tw.dtype
-    W = 128 if WA + 2 <= 128 else 384
+    W = 128 if WA + 2 <= 128 else (256 if WA + 2 <= 256 else 384)
     if WA > W - 2:
         raise ValueError(f"recondense window {WA} > {W - 2}")
     Tp = jnp.zeros((W, W), dtype).at[:WA, :WA].set(Tw)

@@ -726,6 +726,12 @@ def _aed_round(Spad, Qpad, ihi, thresh, eyeW,
         shifts, npairs = _pack_shifts(er_w, ei_w, Tw, kbot, NS, B, TMAX)
 
         import os as _osr
+        # NOTE round 5: the >128-lane-tier recondense kernel passes its
+        # standalone similarity invariant but corrupts the n=4000 driver
+        # residual 300x (1.9M u vs 6.3k u bisected) — some in-driver input
+        # class (kbot near w / 2x2-banded Tm) it mishandles.  Keep the
+        # Pallas route to the validated single-tile tier; the XLA
+        # recondense costs ~30 ms/round at WA=252.
         if _hops_pallas_ok(dtype, WA + 2) \
                 and not _osr.environ.get("STARNEIG_NO_PALLAS_RECONDENSE"):
             from starneig_tpu.ops.pallas_schur import aed_recondense_pallas
@@ -907,14 +913,23 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
     conf = user_conf.resolve(n)
     use_pallas = (jax.default_backend() == "tpu" and dtype == jnp.float64)
     if use_pallas and n > 126:
-        # Pallas-kernel AED sizing: the window Francis runs in the df32
-        # Pallas kernel (ops/pallas_schur.py), whose unaligned dynamic row
-        # bands require the window to fit one 128-lane tile — cap the AED
-        # window at 124 (+2 slack rows).  The reference's 0.08n window
-        # (process_args.c:116-138) would exceed it above n~1550; more,
-        # cheaper rounds win on this hardware.  Explicit expert values win.
+        # Pallas-kernel AED sizing (round 5): the window Francis/deflate/
+        # recondense kernels run in 128-lane-multiple tiers; per-step cost
+        # scales with the tier width and step count with WA^2, while the
+        # round count scales ~1/WA (measured nd ~ 0.46 WA deflations per
+        # round at n=4000).  The 256-lane tier at WA=250 minimizes
+        # rounds x per-round cost AND keeps enough AED quality that the
+        # nibble test skips most sweeps (reference geometry WA=322/NS=240,
+        # process_args.c:116-162, lands in the slower 384 tier —
+        # STARNEIG_AED_W384 selects it; STARNEIG_AED_W128 forces the
+        # round-4 single-tile cap).  Explicit expert values win.
         import os as _ose
-        wa_cap = 380 if _ose.environ.get("STARNEIG_AED_W384") else 124
+        if _ose.environ.get("STARNEIG_AED_W384"):
+            wa_cap = 380
+        elif _ose.environ.get("STARNEIG_AED_W128"):
+            wa_cap = 124
+        else:
+            wa_cap = 250
         if auto_aed:
             conf.aed_window_size = min(conf.aed_window_size, wa_cap)
         if auto_ns:
