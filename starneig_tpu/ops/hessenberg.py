@@ -50,19 +50,48 @@ def _panel(A, k, nb: int, t0: int = 0, end=None):
     rows = jnp.arange(n)
 
     from starneig_tpu.ops.pallas_hess import (
-        matvec_pallas_ok, split_panel_matrix, matvec_df)
+        matvec_pallas_ok, split_panel_matrix, matvec_df, pad_pow2, _rb_for)
+    from starneig_tpu.ops import df32
     use_pl = matvec_pallas_ok(dtype, n)
     if use_pl:
         # one hi/lo split serves the whole panel: the loop deliberately
         # multiplies against the frozen panel-start matrix (compact-WY)
         Ahl = split_panel_matrix(A)
+        Np = Ahl[0].shape[1]
+        # shadow hi/lo buffers for V / U / Y (by columns) and V^T (by
+        # rows): EVERY per-column correction product then runs through
+        # the Pallas matvec kernel.  The XLA f64-emulated (n, nb) GEMV
+        # costs ~470 us on this backend (measured round 5) — ~5 of them
+        # per column were 80% of the whole Hessenberg phase; the kernel
+        # does each in ~40-60 us at the same 2^-47 df32 precision the
+        # platform's own f64 carries.
+        L = pad_pow2(nb)                      # lane pad for (R, L) bufs
+        rbL = _rb_for(L)
+        R = ((n + rbL - 1) // rbL) * rbL      # row pad for (R, L) bufs
+        rbN = _rb_for(Np)
+        RT = ((nb + rbN - 1) // rbN) * rbN    # row pad for Vt (RT, Np)
+        t0r = (t0 // rbN) * rbN               # row-block-aligned bucket
+        zRL = jnp.zeros((R, L), jnp.float32)
+        zTN = jnp.zeros((RT, Np), jnp.float32)
 
     def step(j, carry):
-        V, T, U, Y, P = carry
+        if use_pl:
+            V, T, U, Y, P, Vb, Vt, Ub, Yb = carry
+        else:
+            V, T, U, Y, P = carry
         c = k + j
         a = lax.dynamic_slice(A, (0, c), (n, 1))[:, 0]
-        a = a - Y @ lax.dynamic_slice(V, (c, 0), (1, nb))[0]
-        a = a - V @ (T.T @ (V.T @ a))
+        if use_pl:
+            # V[c, :] exactly from the hi/lo pair (hi + lo == f64 value)
+            vrow = (lax.dynamic_slice(Vb[0], (c, 0), (1, L)).astype(dtype)
+                    + lax.dynamic_slice(Vb[1], (c, 0), (1, L))
+                    .astype(dtype))[0]
+            a = a - matvec_df(Yb[0], Yb[1], vrow, out_len=n)
+            w1 = matvec_df(Vt[0], Vt[1], a, out_len=nb)
+            a = a - matvec_df(Vb[0], Vb[1], T.T @ w1, out_len=n)
+        else:
+            a = a - Y @ lax.dynamic_slice(V, (c, 0), (1, nb))[0]
+            a = a - V @ (T.T @ (V.T @ a))
         shift = c + 1
         ar = jnp.roll(a, -shift)
         mr = jnp.roll(rows >= shift, -shift)
@@ -81,13 +110,34 @@ def _panel(A, k, nb: int, t0: int = 0, end=None):
         # rows < t0 of u (needed only for the final panel values and the
         # right update there) are reconstructed by one deferred GEMM in
         # _apply_panel — the hot sequential matvec runs on the trailing
-        # (bucketed) square only.  On TPU the df32 Pallas kernel computes
-        # the full-width product at the VPU/HBM bound (11.4 ms -> ~0.5 ms
-        # at n=4000); v's support (rows > c >= t0) kills cols < t0 exactly
+        # (bucketed) rows only (row0 = t0 skips the known-zero output
+        # rows; v's support rows > c >= t0 kills cols < t0 exactly)
         if use_pl:
-            u = jnp.where(rows >= t0, matvec_df(*Ahl, v), 0.0)
-        else:
-            u = jnp.zeros((n,), dtype).at[t0:].set(A[t0:, t0:] @ v[t0:])
+            u = matvec_df(*Ahl, v, out_len=n, row0=t0r)
+            wv = matvec_df(Vt[0], Vt[1], v, out_len=nb)
+            tcol = -tau * (T @ wv)
+            tcol = tcol.at[j].set(tau)
+            T = T.at[:, j].set(tcol)
+            uh, ul = df32.df_from_f64(
+                jnp.zeros((R, 1), dtype).at[:n, 0].set(u))
+            Ub = (lax.dynamic_update_slice(Ub[0], uh, (0, j)),
+                  lax.dynamic_update_slice(Ub[1], ul, (0, j)))
+            ycol = matvec_df(Ub[0], Ub[1], tcol, out_len=n)
+            vh, vl = df32.df_from_f64(
+                jnp.zeros((R, 1), dtype).at[:n, 0].set(v))
+            Vb = (lax.dynamic_update_slice(Vb[0], vh, (0, j)),
+                  lax.dynamic_update_slice(Vb[1], vl, (0, j)))
+            vth, vtl = df32.df_from_f64(
+                jnp.zeros((1, Np), dtype).at[0, :n].set(v))
+            Vt = (lax.dynamic_update_slice(Vt[0], vth, (j, 0)),
+                  lax.dynamic_update_slice(Vt[1], vtl, (j, 0)))
+            yh, yl = df32.df_from_f64(
+                jnp.zeros((R, 1), dtype).at[:n, 0].set(ycol))
+            Yb = (lax.dynamic_update_slice(Yb[0], yh, (0, j)),
+                  lax.dynamic_update_slice(Yb[1], yl, (0, j)))
+            P = P.at[:, j].set(pcol)
+            return V, T, U, Y, P, Vb, Vt, Ub, Yb
+        u = jnp.zeros((n,), dtype).at[t0:].set(A[t0:, t0:] @ v[t0:])
         tcol = -tau * (T @ (V.T @ v))
         tcol = tcol.at[j].set(tau)
         V = V.at[:, j].set(v)
@@ -102,6 +152,14 @@ def _panel(A, k, nb: int, t0: int = 0, end=None):
     U = jnp.zeros((n, nb), dtype)
     Y = jnp.zeros((n, nb), dtype)
     P = jnp.zeros((n, nb), dtype)
+    if use_pl:
+        init = (V, T, U, Y, P, (zRL, zRL), (zTN, zTN), (zRL, zRL),
+                (zRL, zRL))
+        V, T, U, Y, P, Vb, Vt, Ub, Yb = lax.fori_loop(0, nb, step, init)
+        # reconstruct the f64 factors exactly from the hi/lo pairs
+        V = (Vb[0].astype(dtype) + Vb[1].astype(dtype))[:n, :nb]
+        Y = (Yb[0].astype(dtype) + Yb[1].astype(dtype))[:n, :nb]
+        return V, T, Y, P
     V, T, U, Y, P = lax.fori_loop(0, nb, step, (V, T, U, Y, P))
     return V, T, Y, P
 

@@ -91,16 +91,45 @@ def split_panel_matrix(A):
     return df32.df_from_f64(Ap)
 
 
-def matvec_df(Ahi, Alo, v, interpret: bool = False):
+def matvec_df(Ahi, Alo, v, out_len: int = 0, row0: int = 0,
+              interpret: bool = False):
     """u = A @ v at df32 precision; A pre-split/padded (see
-    :func:`split_panel_matrix`), v (n,) f64.  Returns u (n,) f64."""
+    :func:`split_panel_matrix` / :func:`split_mat`), v (n,) f64 with
+    n <= lane count.  Returns u (out_len or n,) f64 — out_len covers the
+    non-square shadow-buffer matvecs of the Hessenberg panel loop.
+
+    ``row0`` (static, a multiple of the row block) restricts the kernel to
+    rows [row0, R): the trailing-range bucketing of the panel matvec —
+    rows above row0 are known-zero output (v's support starts there).
+    """
     n = v.shape[0]
     Np = Ahi.shape[1]
     vp = jnp.zeros((1, Np), v.dtype).at[0, :n].set(v)
     vhi, vlo = df32.df_from_f64(vp)
+    if row0:
+        Ahi = Ahi[row0:]
+        Alo = Alo[row0:]
     uhi, ulo = _matvec_call(Ahi, Alo, vhi, vlo, interpret=interpret)
     u = uhi.astype(v.dtype) + ulo.astype(v.dtype)
-    return u[:n, 0]
+    m = out_len or n
+    if row0:
+        return jnp.zeros((m,), v.dtype).at[row0:m].set(u[:m - row0, 0])
+    return u[:m, 0]
+
+
+def split_mat(M, R: int, L: int):
+    """Split an (r, c) f64 matrix into padded (R, L) hi/lo f32 pair for
+    :func:`matvec_df`: R a multiple of the row block, L a power of two."""
+    r, c = M.shape
+    Mp = jnp.zeros((R, L), M.dtype).at[:r, :c].set(M)
+    return df32.df_from_f64(Mp)
+
+
+def pad_pow2(x: int, lo: int = 128) -> int:
+    p = lo
+    while p < x:
+        p *= 2
+    return p
 
 
 def matvec_pallas_ok(dtype, n: int):
