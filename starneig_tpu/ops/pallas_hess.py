@@ -13,8 +13,9 @@ XLA f64 emulated matvec costs 11.4 ms at n=4000 (measured, PLAN_r4.md) —
     df product with the broadcast v and a pairwise-halving df summation
     tree over the lane dimension (jnp.sum would collapse the compensation
     terms to f32 — measured in round 3);
-  * lanes are padded to a power of two for the tree; padding lanes hold
-    zeros and contribute exactly nothing.
+  * lanes are padded to a 1024-multiple for the tree (odd widths fold
+    their tail lane); padding lanes hold zeros and contribute exactly
+    nothing.
 """
 
 from __future__ import annotations
@@ -47,8 +48,19 @@ def _matvec_kernel(Ahi, Alo, vhi, vlo, uhi, ulo, *, guard: bool = False):
     with ctx:
         P = df32.df_mul((Ahi[:], Alo[:]), (vhi[:], vlo[:]))
         hi, lo = P
+        # pairwise-halving df tree over lanes; odd widths fold their tail
+        # lane into the head first (lanes need only be a 1024-multiple —
+        # power-of-two padding taxed n=10,000 with a 1.6x flop/bandwidth
+        # overhead, 10240 -> 16384)
         while hi.shape[-1] > 1:
-            half = hi.shape[-1] // 2
+            w = hi.shape[-1]
+            if w % 2 == 1:
+                h0, l0 = df32.df_add((hi[:, :1], lo[:, :1]),
+                                     (hi[:, w - 1:], lo[:, w - 1:]))
+                hi = jnp.concatenate([h0, hi[:, 1:w - 1]], -1)
+                lo = jnp.concatenate([l0, lo[:, 1:w - 1]], -1)
+                w -= 1
+            half = w // 2
             hi, lo = df32.df_add((hi[:, :half], lo[:, :half]),
                                  (hi[:, half:], lo[:, half:]))
         uhi[:] = hi
@@ -80,12 +92,12 @@ def _matvec_call(Ahi, Alo, vhi, vlo, interpret: bool = False):
 
 def split_panel_matrix(A):
     """Split A (n, n) f64 into padded (hi, lo) f32 pair for the matvec
-    kernel: rows padded to a _RB multiple, lanes to a power of two."""
+    kernel: rows padded to a _RB multiple, lanes to a 1024-multiple (the
+    kernel's lane tree folds odd widths, so power-of-two is not needed;
+    n=10,000 pads to 10,240 instead of 16,384)."""
     n = A.shape[0]
     R = ((n + _RB - 1) // _RB) * _RB  # rows padded to the largest RB
-    Np = 128
-    while Np < n:
-        Np *= 2
+    Np = max(128, ((n + 1023) // 1024) * 1024)
     Ap = jnp.zeros((R, Np), A.dtype)
     Ap = Ap.at[:n, :n].set(A)
     return df32.df_from_f64(Ap)
