@@ -928,6 +928,13 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
             wa_cap = 380
         elif _ose.environ.get("STARNEIG_AED_W128"):
             wa_cap = 124
+        elif n > 8000:
+            # the 256-tier fused program reproducibly kills the tunneled
+            # TPU worker at n=10,000 (3x, round 5; n=4000 is stable and
+            # the kernels see identical shapes — suspected compile/first-
+            # execution fault at the ~11k-wide buffer scale).  The
+            # single-tile geometry is verified at n=10,000.
+            wa_cap = 124
         else:
             wa_cap = 250
         if auto_aed:
