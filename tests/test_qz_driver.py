@@ -98,3 +98,31 @@ def test_qz_driver_n256_default_conf():
     A, B, S, Tt, Q, Z, ar, ai, bt, info = _run(256, seed=9)
     assert info == Error.SUCCESS
     _check(A, B, S, Tt, Q, Z)
+
+
+def test_qz_driver_n512_default_inf_rich():
+    """Round-5 coverage bar (VERDICT item 8): default AED geometry at
+    n=512 with an infinity-rich pencil — exercises realistic window
+    sizing, bucket transitions, and the windowed infinite-eigenvalue push
+    at a size where none of them degenerate.  Starts from HT form
+    directly (the HT reduction is exercised elsewhere; including it would
+    triple the test's runtime for no added QZ coverage)."""
+    n = 512
+    rng = np.random.default_rng(21)
+    H0 = np.triu(rng.standard_normal((n, n)), -1)
+    T0 = np.triu(rng.standard_normal((n, n))) + 3 * np.eye(n)
+    inf_pos = rng.choice(np.arange(1, n - 1), size=n // 10, replace=False)
+    for j in inf_pos:
+        T0[j, j] = 0.0
+    S, Tt, Qo, Zo, ar, ai, bt, info = qz_schur(jnp.asarray(H0),
+                                               jnp.asarray(T0))
+    assert info == Error.SUCCESS
+    S, Tt, Qo, Zo = map(np.asarray, (S, Tt, Qo, Zo))
+    _check(H0, T0, S, Tt, Qo, Zo)
+    # the planted infinite eigenvalues survive to beta == 0.  A dense
+    # random plant can put two infinities adjacent, where one may surface
+    # as a huge-but-finite eigenvalue (the LAPACK dhgeqz behavior the
+    # analysis hook documents) — require 90% exact-beta-zero recovery.
+    bt_np = np.asarray(bt)
+    n_inf = int((np.abs(bt_np) <= 1e-12 * np.abs(bt_np).max()).sum())
+    assert n_inf >= int(0.9 * len(inf_pos)), n_inf
