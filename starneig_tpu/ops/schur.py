@@ -936,7 +936,10 @@ def schur(H, Q=None, conf: Optional[SchurConf] = None, _depth: int = 0):
             # single-tile geometry is verified at n=10,000.
             wa_cap = 124
         else:
-            wa_cap = 250
+            # round-5 scan: 220 beats 250 (14.6 vs 15.3 s schur at n=4000,
+            # equal residual) — fewer window-solve steps outweigh the 4
+            # extra rounds
+            wa_cap = 220
         if auto_aed:
             conf.aed_window_size = min(conf.aed_window_size, wa_cap)
         if auto_ns:
